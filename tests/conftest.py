@@ -1,0 +1,23 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+Multi-chip sharding tests use a virtual 8-device mesh
+(``xla_force_host_platform_device_count``) so no TPU hardware is needed;
+env vars must be set before jax initializes a backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

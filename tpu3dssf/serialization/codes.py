@@ -1,0 +1,119 @@
+"""Space-filling-curve codes (Morton / Hilbert) as pure int32 XLA ops.
+
+TPU-native replacement for the serialization step of PointTransformerV3
+(reference submodule ``PointTransformerV3/``, imported at
+utils/lidar.py:12), whose upstream implementation computes z-order /
+Hilbert codes on CUDA. PTv3 sorts points along these curves and attends
+within fixed windows of the sorted order.
+
+JAX on TPU has no native int64 without the x64 flag, so a 48-bit code
+(16 bits per axis) is represented as a pair of int32s ``(hi, lo)`` and all
+sorting is 2-key lexicographic (``jax.lax.sort(num_keys=2)``). hi carries
+code bits [32, 48), lo carries bits [0, 32).
+
+Supported orders (PTv3's defaults: "z", "z-trans", "hilbert",
+"hilbert-trans"): the ``-trans`` variants permute the axes (x, y, z) →
+(y, x, z) before encoding, matching upstream's transposed curves.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+GRID_BITS = 16
+_OFF = 1 << (GRID_BITS - 1)
+
+SERIALIZATION_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+
+def _interleave3(x, y, z, bits=GRID_BITS):
+    """Bit-interleave three ``bits``-wide non-negative int32 arrays.
+
+    Bit j of (x, y, z) lands at code position 3*j + (2, 1, 0) — x is the
+    most significant axis within each bit triple. Returns (hi, lo) int32.
+    """
+    hi = jnp.zeros_like(x)
+    lo = jnp.zeros_like(x)
+    for j in range(bits):
+        for a, v in enumerate((z, y, x)):  # a=0 → least significant
+            p = 3 * j + a
+            bit = (v >> j) & 1
+            if p < 32:
+                lo = lo | (bit << p)
+            else:
+                hi = hi | (bit << (p - 32))
+    return hi, lo
+
+
+def _to_grid_uint(grid_coords):
+    """Offset signed grid coords into [0, 2^GRID_BITS) unsigned range."""
+    g = jnp.clip(grid_coords.astype(jnp.int32) + _OFF, 0, (1 << GRID_BITS) - 1)
+    return g[..., 0], g[..., 1], g[..., 2]
+
+
+def morton_encode(grid_coords):
+    """Z-order code of (..., 3) int32 grid coords → (hi, lo) int32 arrays."""
+    x, y, z = _to_grid_uint(grid_coords)
+    return _interleave3(x, y, z)
+
+
+def hilbert_encode(grid_coords):
+    """Hilbert-curve code of (..., 3) int32 grid coords → (hi, lo).
+
+    Skilling's transpose algorithm (AIP Conf. Proc. 707, 381 (2004)),
+    vectorized with jnp.where over all points at once: convert axes to the
+    Hilbert transpose representation, then bit-interleave.
+    """
+    x, y, z = _to_grid_uint(grid_coords)
+    X = [x, y, z]
+    n = 3
+    M = 1 << (GRID_BITS - 1)
+
+    # Inverse undo excess work.
+    Q = M
+    while Q > 1:
+        Pm = Q - 1
+        for i in range(n):
+            cond = (X[i] & Q) > 0
+            # if bit set: invert low bits of X[0]; else swap low bits X[0]<->X[i]
+            t = (X[0] ^ X[i]) & Pm
+            X0_if = X[0] ^ Pm
+            X0_else = X[0] ^ t
+            Xi_else = X[i] ^ t
+            X[0] = jnp.where(cond, X0_if, X0_else)
+            if i != 0:
+                X[i] = jnp.where(cond, X[i], Xi_else)
+        Q >>= 1
+
+    # Gray encode.
+    for i in range(1, n):
+        X[i] = X[i] ^ X[i - 1]
+    t = jnp.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        t = jnp.where((X[n - 1] & Q) > 0, t ^ (Q - 1), t)
+        Q >>= 1
+    for i in range(n):
+        X[i] = X[i] ^ t
+
+    return _interleave3(X[0], X[1], X[2])
+
+
+def serialization_keys(grid_coords, order):
+    """Compute sort keys for one serialization order.
+
+    Args:
+      grid_coords: (..., 3) int32.
+      order: one of SERIALIZATION_ORDERS.
+
+    Returns:
+      (hi, lo) int32 arrays, lexicographic sort keys.
+    """
+    if order.endswith("-trans"):
+        grid_coords = grid_coords[..., jnp.array([1, 0, 2])]
+        order = order[: -len("-trans")]
+    if order == "z":
+        return morton_encode(grid_coords)
+    if order == "hilbert":
+        return hilbert_encode(grid_coords)
+    raise ValueError(f"unknown serialization order: {order!r}")

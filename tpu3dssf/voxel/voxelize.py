@@ -1,0 +1,243 @@
+"""Fixed-capacity on-device voxelization / devoxelization.
+
+TPU-native replacement for the reference's CPU voxel pipeline
+(utils/lidar.py:83-172), which round-trips GPU→CPU→GPU per sample per step
+through Open3D ``voxel_down_sample`` (C++), sklearn 5-NN (Cython) and a
+dense ``torch.cdist`` (P, V) matrix. Here everything is jnp under ``jit``
+with *static* capacities and masks:
+
+  * centroid voxel downsampling = sort-by-cell-key + segment_sum — same
+    per-voxel-centroid semantics as Open3D (utils/lidar.py:90-95), with the
+    grid origin at 0 so ``floor(xyz / voxel_size)`` matches the reference's
+    own voxel_coords definition (utils/lidar.py:109-112);
+  * intensity transfer: either exact 5-NN with the reference's weights
+    [0.4, 0.3, 0.2, 0.05, 0.05] (utils/lidar.py:97-105) or in-voxel mean
+    (cheaper; selectable);
+  * devoxelization: tiled 1-NN point→centroid argmin (reference semantics,
+    utils/lidar.py:147-150) or own-voxel gather (exact inverse of the
+    voxel assignment; O(P)).
+
+Shapes are (P, ...) per sample; batch via ``jax.vmap``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# 16 bits per axis after offsetting → grid coords must fit in [-2^15, 2^15).
+# At 0.05 m voxels that is ±1.6 km — far beyond any LiDAR range.
+_AXIS_BITS = 16
+_AXIS_OFF = 1 << (_AXIS_BITS - 1)
+_AXIS_MASK = (1 << _AXIS_BITS) - 1
+
+# Reference 5-NN intensity weights (utils/lidar.py:101).
+KNN_INTENSITY_WEIGHTS = (0.4, 0.3, 0.2, 0.05, 0.05)
+
+
+class VoxelizeResult(NamedTuple):
+    """Outputs of :func:`voxelize` (per sample, fixed capacity V).
+
+    voxel_raw:    (V, 4) centroid xyz + transferred intensity — the
+                  reference's ``voxel_raw`` (utils/lidar.py:107,115).
+    voxel_coords: (V, 3) int32 ``floor(centroid / voxel_size)``
+                  (utils/lidar.py:109-112).
+    voxel_mask:   (V,) bool — True for live voxels.
+    num_voxels:   () int32 — number of live voxels (≤ V).
+    point_voxel:  (P,) int32 — voxel slot of each input point (V-1-clamped
+                  garbage for invalid/overflow points; see point_ok).
+    point_ok:     (P,) bool — point was valid and its voxel fit in capacity.
+    """
+
+    voxel_raw: jax.Array
+    voxel_coords: jax.Array
+    voxel_mask: jax.Array
+    num_voxels: jax.Array
+    point_voxel: jax.Array
+    point_ok: jax.Array
+
+
+def _cell_keys(grid_coords):
+    """Pack (P, 3) int32 grid coords into two int32 lexicographic keys."""
+    g = grid_coords + _AXIS_OFF
+    hi = g[:, 0] & _AXIS_MASK
+    lo = ((g[:, 1] & _AXIS_MASK) << _AXIS_BITS) | (g[:, 2] & _AXIS_MASK)
+    return hi, lo
+
+
+def voxelize(points, point_mask, voxel_size, capacity,
+             intensity_mode="mean"):
+    """Centroid voxel downsample at fixed capacity, fully on device.
+
+    Args:
+      points: (P, 4) float32 [x, y, z, intensity].
+      point_mask: (P,) bool — valid input points.
+      voxel_size: python float (static).
+      capacity: python int (static) — max number of voxels V. Voxels beyond
+        capacity (in cell-key order) are dropped, and their points are
+        flagged invalid in ``point_ok``.
+      intensity_mode: "mean" (in-voxel mean) or "knn5" (reference 5-NN
+        weighted transfer) or "none".
+
+    Returns:
+      VoxelizeResult.
+    """
+    P = points.shape[0]
+    xyz = points[:, :3]
+    grid = jnp.floor(xyz / voxel_size).astype(jnp.int32)
+    hi, lo = _cell_keys(grid)
+
+    # Invalid points sort to the very end.
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    hi = jnp.where(point_mask, hi, big)
+    lo = jnp.where(point_mask, lo, big)
+
+    perm0 = jnp.arange(P, dtype=jnp.int32)
+    hi_s, lo_s, perm = jax.lax.sort((hi, lo, perm0), num_keys=2)
+
+    valid_s = point_mask[perm]
+    new_voxel = jnp.concatenate([
+        jnp.ones((1,), dtype=jnp.int32),
+        ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(jnp.int32),
+    ])
+    new_voxel = jnp.where(valid_s, new_voxel, 0)
+    # 0-based voxel slot per sorted point.
+    vid_s = jnp.cumsum(new_voxel) - 1
+    ok_s = valid_s & (vid_s >= 0) & (vid_s < capacity)
+    # Route dropped points to a scratch segment `capacity`.
+    seg = jnp.where(ok_s, vid_s, capacity)
+
+    ones = ok_s.astype(jnp.float32)
+    sums = jax.ops.segment_sum(
+        jnp.where(ok_s[:, None], points[perm], 0.0), seg,
+        num_segments=capacity + 1, indices_are_sorted=True,
+    )[:capacity]
+    counts = jax.ops.segment_sum(
+        ones, seg, num_segments=capacity + 1, indices_are_sorted=True
+    )[:capacity]
+
+    voxel_mask = counts > 0
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    centroid = sums[:, :3] / denom
+
+    num_voxels = jnp.sum(voxel_mask.astype(jnp.int32))
+
+    # Scatter sorted voxel ids back to original point order.
+    point_voxel = jnp.zeros((P,), jnp.int32).at[perm].set(
+        jnp.clip(vid_s, 0, capacity - 1).astype(jnp.int32))
+    point_ok = jnp.zeros((P,), bool).at[perm].set(ok_s)
+
+    if intensity_mode == "mean":
+        intensity = (sums[:, 3] / denom[:, 0])[:, None]
+    elif intensity_mode == "knn5":
+        intensity = knn_intensity_transfer(
+            centroid, voxel_mask, xyz, points[:, 3], point_mask)[:, None]
+    elif intensity_mode == "none":
+        intensity = jnp.zeros((capacity, 1), jnp.float32)
+    else:
+        raise ValueError(f"unknown intensity_mode: {intensity_mode!r}")
+
+    voxel_raw = jnp.where(
+        voxel_mask[:, None],
+        jnp.concatenate([centroid, intensity], axis=-1),
+        0.0,
+    )
+    voxel_coords = jnp.where(
+        voxel_mask[:, None],
+        jnp.floor(centroid / voxel_size).astype(jnp.int32),
+        0,
+    )
+    return VoxelizeResult(
+        voxel_raw=voxel_raw,
+        voxel_coords=voxel_coords,
+        voxel_mask=voxel_mask,
+        num_voxels=num_voxels,
+        point_voxel=point_voxel,
+        point_ok=point_ok,
+    )
+
+
+def _tiled_topk_neighbors(queries, query_mask, refs, ref_mask, k, tile=2048):
+    """For each query, indices of the k nearest refs (squared L2), tiled.
+
+    Streams the (Q, R) distance matrix through (Q, tile) blocks with a
+    running top-k merge, so the full matrix is never materialized —
+    replaces the reference's dense ``torch.cdist`` (utils/lidar.py:147).
+    """
+    Q = queries.shape[0]
+    R = refs.shape[0]
+    num_tiles = -(-R // tile)
+    pad_r = num_tiles * tile - R
+    refs_p = jnp.pad(refs, ((0, pad_r), (0, 0)))
+    mask_p = jnp.pad(ref_mask, (0, pad_r))
+
+    q_norm = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Q, 1)
+    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+
+    def body(t, carry):
+        best_d, best_i = carry  # (Q, k) each
+        r = jax.lax.dynamic_slice_in_dim(refs_p, t * tile, tile, axis=0)
+        m = jax.lax.dynamic_slice_in_dim(mask_p, t * tile, tile, axis=0)
+        # dist² = |q|² - 2 q·r + |r|²  — the q·r term is one MXU matmul.
+        d = (
+            q_norm
+            - 2.0 * jnp.dot(queries, r.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            + jnp.sum(r * r, axis=-1)[None, :]
+        )
+        d = jnp.where(m[None, :], d, inf)
+        idx = t * tile + jax.lax.broadcasted_iota(jnp.int32, (Q, tile), 1)
+        # Merge current tile with running best, re-take top-k.
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, idx], axis=1)
+        nd, sel = jax.lax.top_k(-cat_d, k)
+        return -nd, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((Q, k), inf), jnp.zeros((Q, k), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
+    best_i = jnp.clip(best_i, 0, R - 1)
+    return best_d, best_i
+
+
+def knn_intensity_transfer(centroids, voxel_mask, points_xyz, intensity,
+                           point_mask, weights=KNN_INTENSITY_WEIGHTS):
+    """Weighted 5-NN intensity from raw points onto voxel centroids.
+
+    Exact semantics of reference utils/lidar.py:97-105 (sklearn
+    NearestNeighbors(k=5) + fixed weights), as a tiled on-device kernel.
+    """
+    k = len(weights)
+    _, idx = _tiled_topk_neighbors(
+        centroids, voxel_mask, points_xyz, point_mask, k)
+    w = jnp.asarray(weights, dtype=jnp.float32)[None, :]
+    return jnp.where(voxel_mask, jnp.sum(intensity[idx] * w, axis=-1), 0.0)
+
+
+def devoxelize_nearest(points_xyz, point_mask, centroids, voxel_mask,
+                       voxel_values):
+    """Gather per-voxel values onto points by nearest centroid (1-NN).
+
+    Reference semantics: utils/lidar.py:120-172 (``torch.cdist`` + argmin +
+    differentiable gather), but tiled so the (P, V) matrix never exists.
+
+    Returns (point_values (P, C), nearest_voxel_index (P,) int32).
+    """
+    _, idx = _tiled_topk_neighbors(points_xyz, point_mask, centroids,
+                                   voxel_mask, k=1)
+    idx = idx[:, 0]
+    values = voxel_values[idx]
+    values = jnp.where(point_mask[:, None], values, 0.0)
+    return values, jnp.where(point_mask, idx, 0)
+
+
+def devoxelize_own_voxel(point_voxel, point_ok, voxel_values):
+    """Gather per-voxel values onto points via the recorded voxel assignment.
+
+    O(P) fast path: each point reads the voxel it fell into during
+    voxelization. Coincides with 1-NN whenever a point's nearest centroid
+    is its own cell's centroid (the overwhelmingly common case).
+    """
+    values = voxel_values[point_voxel]
+    return jnp.where(point_ok[:, None], values, 0.0), point_voxel
