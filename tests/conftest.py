@@ -1,18 +1,25 @@
 """Test config: run everything on CPU with 8 virtual devices.
 
-Multi-chip sharding tests use a virtual 8-device mesh
-(``xla_force_host_platform_device_count``) so no TPU hardware is needed;
-env vars must be set before jax initializes a backend.
+The image's sitecustomize registers the axon TPU plugin in EVERY
+interpreter and programmatically sets ``jax_platforms=axon,cpu`` —
+overriding the JAX_PLATFORMS env var. Tests must not touch the (single,
+tunneled) TPU: ops dispatched over the tunnel are latency-bound and two
+processes serialize on the device grant. So we force the config back to
+cpu here, before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

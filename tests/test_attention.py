@@ -1,0 +1,102 @@
+"""Window-attention kernel vs oracle (Pallas runs in interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu3dssf.kernels import window_attention, window_attention_reference
+
+
+def _rand_qkv(rng, W=4, K=64, H=2, D=16, dtype=np.float32):
+    q = rng.normal(size=(W, K, H, D)).astype(dtype)
+    k = rng.normal(size=(W, K, H, D)).astype(dtype)
+    v = rng.normal(size=(W, K, H, D)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def _oracle(q, k, v, mask):
+    # straightforward numpy softmax attention with key masking
+    q, k, v = map(np.asarray, (q, k, v))
+    mask = np.asarray(mask)
+    W, K, H, D = q.shape
+    out = np.zeros_like(q)
+    for w in range(W):
+        for h in range(H):
+            s = (q[w, :, h] @ k[w, :, h].T) / np.sqrt(D)
+            s = np.where(mask[w][None, :], s, -1e9)
+            s = s - s.max(axis=-1, keepdims=True)
+            p = np.exp(s)
+            p /= p.sum(axis=-1, keepdims=True)
+            out[w, :, h] = p @ v[w, :, h]
+    return out * mask[:, :, None, None]
+
+
+def test_reference_matches_oracle(rng):
+    q, k, v = _rand_qkv(rng)
+    mask = jnp.asarray(rng.random((4, 64)) > 0.3)
+    got = window_attention_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), _oracle(q, k, v, mask),
+                               atol=1e-5)
+
+
+def test_pallas_matches_reference_interpret(rng):
+    # interpret mode is extremely slow on this 1-core host — keep tiny.
+    # full-size pallas-vs-reference parity runs on real TPU via
+    # scripts/check_tpu_kernels.py.
+    q, k, v = _rand_qkv(rng, W=1, K=8, H=1, D=8)
+    mask = jnp.asarray(rng.random((1, 8)) > 0.3)
+    with pltpu.force_tpu_interpret_mode():
+        got = window_attention(q, k, v, mask, True)
+    want = window_attention_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fully_masked_window_is_finite(rng):
+    q, k, v = _rand_qkv(rng, W=2)
+    mask = jnp.zeros((2, 64), bool)  # every slot padding
+    out = window_attention_reference(q, k, v, mask)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_gradients_flow_and_are_finite(rng):
+    q, k, v = _rand_qkv(rng, W=2, K=32)
+    mask = jnp.asarray(rng.random((2, 32)) > 0.2)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(window_attention(q_, k_, v_, mask, False) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        assert np.isfinite(np.asarray(g)).all()
+    # masked slots get zero grads
+    gq_np = np.asarray(gq)
+    assert np.abs(gq_np[~np.asarray(mask)]).max() == 0.0
+
+
+def test_gradient_matches_reference_autodiff(rng):
+    q, k, v = _rand_qkv(rng, W=2, K=32)
+    mask = jnp.asarray(rng.random((2, 32)) > 0.2)
+
+    def loss_custom(q_):
+        return jnp.sum(window_attention(q_, k, v, mask, False) ** 2)
+
+    def loss_ref(q_):
+        return jnp.sum(window_attention_reference(q_, k, v, mask) ** 2)
+
+    g_custom = jax.grad(loss_custom)(q)
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               atol=1e-4)
+
+
+def test_bf16_inputs(rng):
+    q, k, v = _rand_qkv(rng, W=2, K=32)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mask = jnp.ones((2, 32), bool)
+    out = window_attention_reference(q, k, v, mask)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()

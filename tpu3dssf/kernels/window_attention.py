@@ -1,0 +1,128 @@
+"""Serialized-window attention: the PTv3 hot path as a Pallas TPU kernel.
+
+Replaces the flash-attn 2.x CUDA dependency of the reference's
+PointTransformerV3 submodule (environment.yml:242; PTv3 attends within
+fixed-size windows of the space-filling-curve order — see SURVEY.md §2.2).
+
+Windows are static-shape (num_windows, window, heads, head_dim), so each
+(window, head) pair is one grid step: scores, masked softmax, and the
+value matmul all live in VMEM with no HBM round-trip for the (K, K)
+score matrix. Padded slots (points beyond ``num_valid`` in the sorted
+order) are masked on the key side with an additive bias and zeroed on the
+query side by the caller.
+
+Training: ``window_attention`` is a custom_vjp — Pallas forward, XLA
+backward (vjp of the jnp reference), so gradients are exact without a
+hand-written backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+
+
+def window_attention_reference(q, k, v, key_mask):
+    """Plain-jnp within-window MHA (oracle + backward path).
+
+    Args:
+      q, k, v: (W, K, H, D) — windows, window size, heads, head dim.
+      key_mask: (W, K) bool — True for live (non-padding) slots.
+
+    Returns:
+      (W, K, H, D), same dtype as q. Outputs at masked query slots are
+      zeroed.
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST  # exact-f32 oracle / backward path
+    scores = jnp.einsum("wqhd,wkhd->whqk", qf, kf, precision=hp) * scale
+    bias = jnp.where(key_mask, 0.0, _NEG)[:, None, None, :]
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    out = jnp.einsum("whqk,wkhd->wqhd", probs, vf, precision=hp)
+    out = out * key_mask[:, :, None, None]
+    return out.astype(q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(denom, 1e-20)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _window_attention_pallas(q, k, v, key_mask):
+    W, K, H, D = q.shape
+    bias = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+
+    # TPU block rule: the last two block dims must divide (8, 128) or
+    # equal the array dims — so windows/heads lead and (K, D) trail.
+    def whkd(x):
+        return jnp.transpose(x, (0, 2, 1, 3))  # (W, K, H, D) → (W, H, K, D)
+
+    qkv_spec = pl.BlockSpec((1, 1, K, D), lambda w, h: (w, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((W, H, K, D), q.dtype),
+        grid=(W, H),
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, 1, K), lambda w, h: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+    )(whkd(q), whkd(k), whkd(v), bias)
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    # query-side zeroing (cheap VPU op; keeps the kernel mask-free on q)
+    return out * key_mask[:, :, None, None].astype(out.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def window_attention(q, k, v, key_mask, use_pallas=True):
+    """Windowed MHA; Pallas forward on TPU, jnp fallback elsewhere.
+
+    Same contract as :func:`window_attention_reference`.
+    """
+    if use_pallas:
+        return _window_attention_pallas(q, k, v, key_mask)
+    return window_attention_reference(q, k, v, key_mask)
+
+
+def _wa_fwd(q, k, v, key_mask, use_pallas):
+    out = window_attention(q, k, v, key_mask, use_pallas)
+    return out, (q, k, v, key_mask)
+
+
+def _wa_bwd(use_pallas, res, g):
+    q, k, v, key_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: window_attention_reference(q_, k_, v_, key_mask),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+window_attention.defvjp(_wa_fwd, _wa_bwd)

@@ -1,0 +1,130 @@
+"""Weighted Cross-Entropy + Lovász-Softmax, masked and jit-able.
+
+Rebuilds the reference ``CELSLoss`` (utils/losses.py:7-70) and the
+LovaszSoftmax submodule's ``lovasz_softmax_flat`` without any dynamic
+shapes: instead of boolean-indexing valid points (losses.py:45-57), every
+reduction carries a weight/validity mask, so the whole loss compiles under
+``jit`` and reduces with ``psum`` across data-parallel shards.
+
+Contract preserved:
+  * valid = collate mask ∧ (label != ignore_index) — both the padding mask
+    and the noise class 0 are excluded (losses.py:53-57 with the mask
+    built at dataloader.py:236-239);
+  * CE on labels shifted to [0, C-1] with per-class weights
+    (losses.py:60);
+  * Lovász-Softmax on softmax probabilities of the valid points, labels
+    shifted likewise, mean over classes *present* in the batch
+    (losses.py:63; LovaszSoftmax submodule semantics);
+  * total = ce + λ·lovász (losses.py:68);
+  * predictions returned as argmax+1 in [1, C] (losses.py:66).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class LossOutput(NamedTuple):
+    total: jax.Array       # () scalar
+    ce: jax.Array          # ()
+    lovasz: jax.Array      # ()
+    predictions: jax.Array  # (B, P) int32 in [1, C]; 0 where invalid
+    valid: jax.Array       # (B, P) bool — points that entered the loss
+    num_valid: jax.Array   # () int32
+    num_correct: jax.Array  # () int32
+
+
+def weighted_cross_entropy(logits, labels0, valid, class_weights=None):
+    """Mean weighted CE over valid entries; labels0 already in [0, C-1].
+
+    Matches ``nn.CrossEntropyLoss(weight=w)`` semantics: the mean is
+    weighted — sum(w_y * nll) / sum(w_y) over valid entries.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels0[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[labels0]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * valid.astype(jnp.float32)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def lovasz_softmax(probs, labels0, valid):
+    """Masked Lovász-Softmax over flattened points, mean over present classes.
+
+    probs: (N, C) softmax probabilities; labels0: (N,) in [0, C-1];
+    valid: (N,) bool. Invalid entries get error 0 / fg 0 and sort last, so
+    they contribute nothing to any class's Jaccard extension.
+    """
+    probs = probs.astype(jnp.float32)
+    N, C = probs.shape
+    validf = valid.astype(jnp.float32)
+
+    def one_class(c):
+        fg = jnp.where(valid, (labels0 == c).astype(jnp.float32), 0.0)
+        errors = jnp.where(valid, jnp.abs(fg - probs[:, c]), 0.0)
+        # descending sort; invalid (error 0) naturally last among ties,
+        # and their fg is 0 so suffix cumsums are unaffected for the
+        # prefix of valid entries.
+        order = jnp.argsort(-errors)
+        errors_s = errors[order]
+        fg_s = fg[order]
+        gts = jnp.sum(fg_s)
+        inter = gts - jnp.cumsum(fg_s)
+        union = gts + jnp.cumsum(1.0 - fg_s) - jnp.cumsum(
+            jnp.logical_not(valid)[order].astype(jnp.float32))
+        jaccard = 1.0 - inter / jnp.maximum(union, 1e-12)
+        # lovasz gradient: first element as-is, then differences
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        loss_c = jnp.sum(errors_s * grad)
+        present = gts > 0
+        return loss_c, present
+
+    losses, present = jax.vmap(one_class)(jnp.arange(C))
+    presentf = present.astype(jnp.float32)
+    return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)
+
+
+class CELSLoss:
+    """CE + λ·Lovász with the reference's masking semantics.
+
+    Callable like the reference module: ``loss(pred_scores, gt_labels,
+    mask)`` with pred_scores (B, P, C), gt_labels (B, P) in [0, C]
+    (0 = noise/padding), mask (B, P) bool.
+    """
+
+    def __init__(self, weight=None, ignore_index: int = 0,
+                 lamda_lovasz: float = 1.0):
+        self.weight = None if weight is None else jnp.asarray(
+            weight, jnp.float32)
+        self.ignore_index = ignore_index
+        self.lamda_lovasz = lamda_lovasz
+
+    def __call__(self, pred_scores, gt_labels,
+                 mask: Optional[jax.Array] = None) -> LossOutput:
+        B, P, C = pred_scores.shape
+        labels = gt_labels.astype(jnp.int32)
+        valid = labels != self.ignore_index
+        if mask is not None:
+            valid = valid & mask
+        labels0 = jnp.clip(labels - 1, 0, C - 1)
+
+        ce = weighted_cross_entropy(pred_scores, labels0, valid, self.weight)
+
+        probs = jax.nn.softmax(pred_scores.astype(jnp.float32), axis=-1)
+        lov = lovasz_softmax(
+            probs.reshape(-1, C), labels0.reshape(-1), valid.reshape(-1))
+
+        total = ce + self.lamda_lovasz * lov
+
+        preds = jnp.argmax(pred_scores, axis=-1).astype(jnp.int32) + 1
+        preds = jnp.where(valid, preds, 0)
+        num_valid = jnp.sum(valid.astype(jnp.int32))
+        num_correct = jnp.sum(
+            ((preds == labels) & valid).astype(jnp.int32))
+        return LossOutput(total, ce, lov, preds, valid, num_valid,
+                          num_correct)

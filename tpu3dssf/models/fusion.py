@@ -1,0 +1,162 @@
+"""Cross-modal fusion head + full segmentation pipeline.
+
+Rebuilds the reference ``FeatureFusionModel`` (utils/fusion_model.py:133-206)
+and the surrounding dataflow contract (SURVEY.md §3.5) as one jit-able
+graph:
+
+  1. project voxel centroids into all 6 cameras (validity: z>0 & in-bounds);
+  2. rescale pixels from capture resolution to encoder resolution;
+  3. pixel → flat patch index; gather one ViT token per (camera, voxel);
+  4. masked mean over valid cameras (count clamped to ≥1,
+     fusion_model.py:199);
+  5. concat [voxel_feat(64) ‖ img_feat(384)] → MLP 448→256→64→16
+     (fusion_model.py:144-150);
+  6. devoxelize voxel logits back to per-point logits
+     (fusion_model.py:205).
+
+Unlike the reference (which loops over cameras in Python and re-uploads
+CPU patch tokens per camera, fusion_model.py:184-191), every step here is
+one batched gather/matmul over all cameras at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu3dssf.geometry import (
+    multi_camera_projector,
+    pixel_to_patch_index,
+    scale_pixel_coords,
+)
+from tpu3dssf.models.ptv3 import PointTransformerV3, PTv3Config
+from tpu3dssf.voxel import (
+    devoxelize_nearest,
+    devoxelize_own_voxel,
+    voxelize,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    point_feat_dim: int = 64           # PTv3 head width (fusion_model.py:134)
+    patch_tok_dim: int = 384           # ViT-S hidden
+    hidden_dims: Tuple[int, ...] = (256, 64)
+    output_dim: int = 16               # nuScenes-lidarseg classes
+    # image-encoder geometry (dinov3 defaults: camera.py:27-34)
+    patch_size: int = 16
+    encoder_size: Tuple[int, int] = (640, 1138)   # (H, W)
+    raw_image_size: Tuple[int, int] = (900, 1600)  # nuScenes capture
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        return (self.encoder_size[0] // self.patch_size,
+                self.encoder_size[1] // self.patch_size)
+
+
+def gather_camera_features(patch_tokens, voxel_xyz, cam_intrinsics,
+                           lidar2cam, cfg: FusionConfig):
+    """Steps 1-4: per-voxel fused image feature, all cameras batched.
+
+    Args:
+      patch_tokens: (B, N_cam, M, D) ViT patch tokens.
+      voxel_xyz: (B, V, 3) voxel centroids (LiDAR frame).
+      cam_intrinsics: (B, N_cam, 3, 3); lidar2cam: (B, N_cam, 4, 4).
+
+    Returns:
+      fused: (B, V, D); cam_valid: (B, N_cam, V) bool.
+    """
+    gh, gw = cfg.grid_hw
+    pix, _, valid = multi_camera_projector(
+        voxel_xyz, cam_intrinsics, lidar2cam, cfg.raw_image_size)
+    pix = scale_pixel_coords(pix, cfg.raw_image_size, cfg.encoder_size)
+    flat_idx = pixel_to_patch_index(pix, cfg.patch_size, gh, gw)
+
+    # one gather over all cameras: (B, N_cam, V, D)
+    gathered = jnp.take_along_axis(
+        patch_tokens, flat_idx[..., None], axis=2)
+    w = valid[..., None].astype(gathered.dtype)
+    counts = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # clamp like reference
+    fused = jnp.sum(gathered * w, axis=1) / counts
+    return fused, valid
+
+
+class FeatureFusionModel(nn.Module):
+    """The trainable fusion head (projection-gather-pool + MLP)."""
+
+    config: FusionConfig
+
+    @nn.compact
+    def __call__(self, patch_tokens, voxel_features, voxel_raw, voxel_mask,
+                 cam_intrinsics, lidar2cam):
+        cfg = self.config
+        fused_img, _ = gather_camera_features(
+            patch_tokens, voxel_raw[..., :3], cam_intrinsics, lidar2cam,
+            cfg)
+        x = jnp.concatenate(
+            [voxel_features, fused_img.astype(voxel_features.dtype)],
+            axis=-1)
+        for i, h in enumerate(cfg.hidden_dims):
+            x = nn.Dense(h, dtype=cfg.dtype, name=f"mlp{i}")(x)
+            x = nn.relu(x)
+        x = nn.Dense(cfg.output_dim, dtype=cfg.dtype, name="mlp_out")(x)
+        return x * voxel_mask[..., None]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    fusion: FusionConfig = FusionConfig()
+    ptv3: PTv3Config = PTv3Config()
+    voxel_size: float = 0.1            # config lidar.voxel_size
+    voxel_capacity: int = 32768        # static V
+    intensity_mode: str = "mean"       # or "knn5" for reference parity
+    devoxelize_mode: str = "own"       # "own" (O(P)) or "nearest" (parity)
+
+
+class SegmentationPipeline(nn.Module):
+    """LiDAR points + camera patch tokens → per-point class logits.
+
+    The full trainable graph: voxelize → PTv3 → fusion head → devoxelize.
+    The frozen image encoder runs outside (its tokens are inputs), same
+    trainability split as the reference (image encoder excluded from the
+    optimizer, main_train.py note in SURVEY.md §3.1; PTv3 IS trained).
+    """
+
+    config: PipelineConfig
+
+    @nn.compact
+    def __call__(self, points, point_mask, patch_tokens, cam_intrinsics,
+                 lidar2cam, deterministic: bool = True):
+        cfg = self.config
+
+        vox = jax.vmap(
+            lambda p, m: voxelize(
+                p, m, cfg.voxel_size, cfg.voxel_capacity,
+                intensity_mode=cfg.intensity_mode)
+        )(points, point_mask)
+
+        voxel_feats, voxel_mask = PointTransformerV3(
+            cfg.ptv3, name="ptv3")(
+            vox.voxel_raw, vox.voxel_coords, vox.voxel_mask,
+            deterministic=deterministic)
+
+        voxel_scores = FeatureFusionModel(cfg.fusion, name="fusion")(
+            patch_tokens, voxel_feats, vox.voxel_raw, voxel_mask,
+            cam_intrinsics, lidar2cam)
+
+        if cfg.devoxelize_mode == "own":
+            point_scores, _ = jax.vmap(devoxelize_own_voxel)(
+                vox.point_voxel, vox.point_ok, voxel_scores)
+        elif cfg.devoxelize_mode == "nearest":
+            point_scores, _ = jax.vmap(
+                lambda p, m, c, vm, v: devoxelize_nearest(p, m, c, vm, v)
+            )(points[..., :3], point_mask, vox.voxel_raw[..., :3],
+              vox.voxel_mask, voxel_scores)
+        else:
+            raise ValueError(cfg.devoxelize_mode)
+        return point_scores

@@ -1,0 +1,371 @@
+"""PointTransformerV3 rebuilt TPU-first in flax.linen.
+
+Capability-parity reimplementation of the PTv3 encoder-decoder the
+reference consumes as a git submodule (reference utils/lidar.py:12,25 —
+``PointTransformerV3(in_channels=4)`` whose ``.feat`` head is 64-d,
+utils/fusion_model.py:134). Upstream PTv3 is CUDA-bound (pointops,
+flash-attn, spconv); this version is pure JAX + the Pallas window-attention
+kernel, designed around static shapes:
+
+  * point sets live in fixed-capacity buffers with validity masks;
+  * serialization = Morton/Hilbert codes + 2-key lexicographic sort
+    (tpu3dssf.serialization), recomputed per pyramid level;
+  * serialized-patch attention over fixed windows of the sorted order
+    (tpu3dssf.kernels.window_attention) — attention cost linear in N;
+  * grid pooling = coarsen grid coords (>>1) + sort + segment-max, with a
+    recorded parent map for decoder unpooling;
+  * conditional positional encoding (upstream xCPE = submanifold sparse
+    conv) is a depthwise conv along the serialized order + a pointwise
+    dense — a TPU-friendly local aggregator with the same role.
+
+Deliberate divergences from upstream (documented for the parity audit):
+LayerNorm everywhere (upstream mixes BatchNorm into embedding/pooling —
+BN is hostile to masked fixed-capacity batches), deterministic cycling
+through serialization orders per block instead of random shuffling, and
+capacity halving per pooling stage (upstream is fully dynamic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu3dssf.kernels import window_attention
+from tpu3dssf.serialization import (
+    SERIALIZATION_ORDERS,
+    argsort_lex,
+    inverse_permutation,
+    pack_cell_keys,
+    serialization_keys,
+)
+
+_INT_MIN = jnp.iinfo(jnp.int32).min
+
+
+@dataclasses.dataclass(frozen=True)
+class PTv3Config:
+    """Mirrors upstream PTv3 defaults (model scale identical)."""
+
+    in_channels: int = 4
+    orders: Tuple[str, ...] = SERIALIZATION_ORDERS
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    enc_heads: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    enc_window: Tuple[int, ...] = (1024, 1024, 1024, 1024, 1024)
+    dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    dec_channels: Tuple[int, ...] = (64, 64, 128, 256)
+    dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
+    dec_window: Tuple[int, ...] = (1024, 1024, 1024, 1024)
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    pool_ratio: int = 2  # capacity divisor per pooling stage
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.enc_depths)
+
+    @property
+    def out_channels(self) -> int:
+        return self.dec_channels[0]
+
+    def capacities(self, n: int) -> Tuple[int, ...]:
+        caps = [n]
+        for s in range(1, self.num_stages):
+            w = self.enc_window[s]
+            c = max(w, caps[-1] // self.pool_ratio)
+            caps.append(_round_up(c, w))
+        return tuple(caps)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _serialize_perms(grid, mask, orders):
+    """Per-order (perm, inv) for a batched point set; each (B, N)."""
+
+    def one(g, m, order):
+        hi, lo = serialization_keys(g, order)
+        perm = argsort_lex(hi, lo, m)
+        return perm, inverse_permutation(perm)
+
+    out = {}
+    for order in orders:
+        out[order] = jax.vmap(lambda g, m: one(g, m, order))(grid, mask)
+    return out
+
+
+def _pool_structure(grid, mask, out_cap):
+    """Grouping of a batched point set into 2x-coarser grid cells.
+
+    Returns per batch entry:
+      seg:       (N,) int32 — coarse slot per point (out_cap for dropped),
+      grid_out:  (out_cap, 3) int32 coarse cell coords,
+      mask_out:  (out_cap,) bool,
+      parent:    (N,) int32 — slot for unpooling gathers (0-clamped),
+      parent_ok: (N,) bool.
+    """
+
+    def one(g, m):
+        n = g.shape[0]
+        coarse = g >> 1
+        hi, lo = pack_cell_keys(coarse)
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        hi = jnp.where(m, hi, big)
+        lo = jnp.where(m, lo, big)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        hi_s, lo_s, perm = jax.lax.sort((hi, lo, idx), num_keys=2)
+        valid_s = m[perm]
+        new = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(
+                jnp.int32),
+        ])
+        new = jnp.where(valid_s, new, 0)
+        vid_s = jnp.cumsum(new) - 1
+        ok_s = valid_s & (vid_s >= 0) & (vid_s < out_cap)
+        seg_s = jnp.where(ok_s, vid_s, out_cap)
+
+        coarse_s = coarse[perm]
+        grid_out = jax.ops.segment_max(
+            jnp.where(ok_s[:, None], coarse_s, _INT_MIN), seg_s,
+            num_segments=out_cap + 1, indices_are_sorted=True)[:out_cap]
+        count = jax.ops.segment_sum(
+            ok_s.astype(jnp.int32), seg_s,
+            num_segments=out_cap + 1, indices_are_sorted=True)[:out_cap]
+        mask_out = count > 0
+        grid_out = jnp.where(mask_out[:, None], grid_out, 0)
+
+        parent = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.clip(vid_s, 0, out_cap - 1).astype(jnp.int32))
+        parent_ok = jnp.zeros((n,), bool).at[perm].set(ok_s)
+        seg = jnp.where(parent_ok, parent, out_cap)
+        return seg, grid_out, mask_out, parent, parent_ok
+
+    return jax.vmap(one)(grid, mask)
+
+
+class SerializedCPE(nn.Module):
+    """Conditional positional encoding along the serialized order.
+
+    Role of upstream xCPE (submanifold sparse conv + skip): inject local
+    geometric context. Depthwise conv (kernel 3) over the z-order sequence
+    + pointwise dense, residual.
+    """
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, perm, inv, mask):
+        xs = jnp.take_along_axis(
+            x * mask[..., None], perm[..., None], axis=1)
+        y = nn.Conv(
+            features=self.channels, kernel_size=(3,),
+            feature_group_count=self.channels, use_bias=True,
+            dtype=self.dtype, name="depthwise")(xs)
+        y = nn.Dense(self.channels, dtype=self.dtype, name="pointwise")(y)
+        y = jnp.take_along_axis(y, inv[..., None], axis=1)
+        return x + y * mask[..., None]
+
+
+class SerializedAttention(nn.Module):
+    """Windowed MHA over one serialization order."""
+
+    channels: int
+    heads: int
+    window: int
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, perm, inv, mask):
+        B, N, C = x.shape
+        K = min(self.window, N)
+        H = self.heads
+        D = self.channels // H
+
+        qkv = nn.Dense(3 * self.channels, dtype=self.dtype, name="qkv")(x)
+        qkv = jnp.take_along_axis(qkv, perm[..., None], axis=1)
+        mask_s = jnp.take_along_axis(mask, perm, axis=1)
+
+        W = N // K
+        qkv = qkv.reshape(B * W, K, 3, H, D)
+        key_mask = mask_s.reshape(B * W, K)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        out = window_attention(q, k, v, key_mask, self.use_pallas)
+        out = out.reshape(B, N, C)
+        out = jnp.take_along_axis(out, inv[..., None], axis=1)
+        return nn.Dense(self.channels, dtype=self.dtype, name="proj")(out)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a residual branch."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PTv3Block(nn.Module):
+    """CPE → pre-norm windowed attention → pre-norm MLP (all residual)."""
+
+    channels: int
+    heads: int
+    window: int
+    mlp_ratio: float
+    drop_path: float = 0.0
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, perms, order, cpe_order, mask,
+                 deterministic=True):
+        perm_c, inv_c = perms[cpe_order]
+        x = SerializedCPE(self.channels, dtype=self.dtype, name="cpe")(
+            x, perm_c, inv_c, mask)
+
+        perm, inv = perms[order]
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = SerializedAttention(
+            self.channels, self.heads, self.window,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
+        )(h, perm, inv, mask)
+        x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.channels * self.mlp_ratio)
+        h = nn.Dense(hidden, dtype=self.dtype, name="mlp_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="mlp_out")(h)
+        x = x + DropPath(self.drop_path, name="dp2")(h, deterministic)
+        return x * mask[..., None]
+
+
+class SerializedPooling(nn.Module):
+    """Grid pooling: dense proj → segment-max over 2x-coarser cells."""
+
+    channels: int
+    out_cap: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, grid, mask):
+        seg, grid_out, mask_out, parent, parent_ok = _pool_structure(
+            grid, mask, self.out_cap)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
+        neg = jnp.float32(-3.0e38)
+
+        def pool_one(hh, ss, ok):
+            pooled = jax.ops.segment_max(
+                jnp.where(ok[:, None], hh.astype(jnp.float32), neg),
+                ss, num_segments=self.out_cap + 1)[:self.out_cap]
+            return pooled
+
+        pooled = jax.vmap(pool_one)(h, seg, parent_ok)
+        pooled = jnp.where(mask_out[..., None], pooled, 0.0).astype(
+            self.dtype)
+        pooled = nn.LayerNorm(dtype=self.dtype, name="norm")(pooled)
+        pooled = nn.gelu(pooled)
+        pooled = pooled * mask_out[..., None]
+        return pooled, grid_out, mask_out, parent, parent_ok
+
+
+class SerializedUnpooling(nn.Module):
+    """Broadcast coarse features to their children + project the skip."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_coarse, skip, parent, parent_ok, mask_fine):
+        up = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x_coarse)
+        up = nn.LayerNorm(dtype=self.dtype, name="norm")(up)
+        up = jnp.take_along_axis(up, parent[..., None], axis=1)
+        up = jnp.where(parent_ok[..., None], up, 0.0)
+        sk = nn.Dense(self.channels, dtype=self.dtype, name="proj_skip")(skip)
+        sk = nn.LayerNorm(dtype=self.dtype, name="norm_skip")(sk)
+        out = nn.gelu(up + sk)
+        return out * mask_fine[..., None]
+
+
+class PointTransformerV3(nn.Module):
+    """Batched PTv3 over fixed-capacity masked point sets.
+
+    Input:  feat (B, N, in_channels), grid_coord (B, N, 3) int32,
+            mask (B, N) bool. N must be a multiple of enc_window[0].
+    Output: (feat (B, N, dec_channels[0]), mask) — the 64-d point head the
+            fusion model consumes (reference utils/lidar.py:55-56).
+    """
+
+    config: PTv3Config
+
+    @nn.compact
+    def __call__(self, feat, grid_coord, mask, deterministic: bool = True):
+        cfg = self.config
+        caps = cfg.capacities(feat.shape[1])
+        orders = cfg.orders
+        cpe_order = orders[0]
+
+        x = nn.Dense(cfg.enc_channels[0], dtype=cfg.dtype, name="embed")(feat)
+        x = nn.LayerNorm(dtype=cfg.dtype, name="embed_norm")(x)
+        x = x * mask[..., None]
+
+        grid, msk = grid_coord, mask
+        skips = []
+        pools = []
+
+        # ---- encoder ----
+        for s in range(cfg.num_stages):
+            if s > 0:
+                pooled = SerializedPooling(
+                    cfg.enc_channels[s], caps[s], dtype=cfg.dtype,
+                    name=f"pool{s}",
+                )(x, grid, msk)
+                x, grid, msk, parent, parent_ok = pooled
+                pools.append((parent, parent_ok))
+            perms = _serialize_perms(grid, msk, orders)
+            for b in range(cfg.enc_depths[s]):
+                order = orders[b % len(orders)]
+                x = PTv3Block(
+                    cfg.enc_channels[s], cfg.enc_heads[s],
+                    cfg.enc_window[s], cfg.mlp_ratio,
+                    drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
+                    dtype=cfg.dtype, name=f"enc{s}_blk{b}",
+                )(x, perms, order, cpe_order, msk, deterministic)
+            skips.append((x, grid, msk))
+
+        # ---- decoder ----
+        for d in reversed(range(cfg.num_stages - 1)):
+            skip_x, skip_grid, skip_mask = skips[d]
+            parent, parent_ok = pools[d]
+            x = SerializedUnpooling(
+                cfg.dec_channels[d], dtype=cfg.dtype, name=f"unpool{d}",
+            )(x, skip_x, parent, parent_ok, skip_mask)
+            grid, msk = skip_grid, skip_mask
+            perms = _serialize_perms(grid, msk, orders)
+            for b in range(cfg.dec_depths[d]):
+                order = orders[b % len(orders)]
+                x = PTv3Block(
+                    cfg.dec_channels[d], cfg.dec_heads[d],
+                    cfg.dec_window[d], cfg.mlp_ratio,
+                    drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
+                    dtype=cfg.dtype, name=f"dec{d}_blk{b}",
+                )(x, perms, order, cpe_order, msk, deterministic)
+
+        return x, msk

@@ -1,0 +1,228 @@
+"""Vision Transformer (DINOv2 / DINOv3 style) in flax.linen.
+
+Rebuilds the capability of the reference's frozen HF image encoder
+(utils/camera.py:6-65): a ViT-S that maps one camera image to per-patch
+tokens (M, 384) plus a CLS/global token. Presets mirror the two reference
+branches:
+
+  * ``dinov2_small``  — patch 14, input 224x224, 16x16 = 256 patches
+    (camera.py:15-19);
+  * ``dinov3_small``  — patch 16, input 640x1138, 40x71 = 2840 patches,
+    4 register tokens, axial 2D RoPE (camera.py:21-34;
+    fusion_model.py:172-174).
+
+Token-layout note (parity quirk, documented): the reference slices
+``feats[1:-4]`` for BOTH branches (camera.py:57-58). For DINOv3
+([CLS, 4 registers, patches...]) that keeps the 4 registers and drops the
+last 4 *patch* tokens — shape-invisible but semantically shifted; for
+DINOv2 (no registers) it drops 4 real patch tokens. This implementation
+returns the true patch tokens; ``register_slice_compat=True`` reproduces
+the reference slice bit-for-bit for parity testing.
+
+Weights: architecture-compatible with HF ``facebook/dinov2-small`` /
+``facebook/dinov3-vits16-pretrain-lvd1689m``; see
+:mod:`tpu3dssf.models.vit_port` for the HF→flax port (gated on a local
+checkpoint — this environment has no network egress).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# ImageNet normalization used by both HF processors.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    image_size: Tuple[int, int] = (640, 1138)  # (H, W)
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 0
+    layerscale_init: Optional[float] = 1e-5
+    use_rope: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        return (self.image_size[0] // self.patch_size,
+                self.image_size[1] // self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid_size
+        return gh * gw
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return 1 + self.num_register_tokens  # CLS + registers
+
+
+def dinov2_small() -> ViTConfig:
+    """Reference dinov2 branch geometry (camera.py:15-19)."""
+    return ViTConfig(patch_size=14, image_size=(224, 224),
+                     num_register_tokens=0, use_rope=False)
+
+
+def dinov3_small() -> ViTConfig:
+    """Reference dinov3 branch geometry (camera.py:21-34)."""
+    return ViTConfig(patch_size=16, image_size=(640, 1138),
+                     num_register_tokens=4, use_rope=True)
+
+
+def _rope_angles(gh, gw, head_dim):
+    """Axial 2D RoPE angles over the patch grid, coords in [-1, 1]."""
+    quarter = head_dim // 4
+    freqs = 100.0 ** (-jnp.arange(quarter, dtype=jnp.float32) / quarter)
+    ys = jnp.linspace(-1.0, 1.0, gh)
+    xs = jnp.linspace(-1.0, 1.0, gw)
+    ang_y = ys[:, None] * freqs[None, :]                     # (gh, q)
+    ang_x = xs[:, None] * freqs[None, :]                     # (gw, q)
+    ang_y = jnp.broadcast_to(ang_y[:, None, :], (gh, gw, quarter))
+    ang_x = jnp.broadcast_to(ang_x[None, :, :], (gh, gw, quarter))
+    ang = jnp.concatenate([ang_y, ang_x], axis=-1)           # (gh, gw, 2q)
+    return ang.reshape(gh * gw, 2 * quarter)
+
+
+def _apply_rope(x, angles, n_prefix):
+    """Rotate patch-token halves of q/k; prefix tokens pass through.
+
+    x: (B, N, H, D); angles: (num_patches, D // 2).
+    """
+    B, N, H, D = x.shape
+    prefix, patches = x[:, :n_prefix], x[:, n_prefix:]
+    half = D // 2
+    cos = jnp.cos(angles)[None, :, None, :]
+    sin = jnp.sin(angles)[None, :, None, :]
+    p1, p2 = patches[..., :half], patches[..., half:]
+    rotated = jnp.concatenate(
+        [p1 * cos - p2 * sin, p1 * sin + p2 * cos], axis=-1)
+    return jnp.concatenate([prefix, rotated], axis=1)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init),
+                           (self.dim,))
+        return x * gamma
+
+
+class ViTBlock(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, rope_angles=None):
+        cfg = self.config
+        C = cfg.hidden_size
+        H = cfg.num_heads
+        D = C // H
+        B, N, _ = x.shape
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * C, dtype=cfg.dtype, name="qkv")(h)
+        qkv = qkv.reshape(B, N, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cfg.use_rope and rope_angles is not None:
+            q = _apply_rope(q, rope_angles, cfg.num_prefix_tokens)
+            k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (D ** 0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
+        if cfg.layerscale_init is not None:
+            out = LayerScale(C, cfg.layerscale_init, name="ls1")(out)
+        x = x + out
+
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm2")(x)
+        h = nn.Dense(int(C * cfg.mlp_ratio), dtype=cfg.dtype,
+                     name="mlp_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(C, dtype=cfg.dtype, name="mlp_out")(h)
+        if cfg.layerscale_init is not None:
+            h = LayerScale(C, cfg.layerscale_init, name="ls2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """DINO-style ViT: images (B, H, W, 3) → patch + global tokens."""
+
+    config: ViTConfig
+    register_slice_compat: bool = False
+
+    @nn.compact
+    def __call__(self, images):
+        cfg = self.config
+        B = images.shape[0]
+        C = cfg.hidden_size
+        gh, gw = cfg.grid_size
+
+        x = nn.Conv(C, kernel_size=(cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    dtype=cfg.dtype, name="patch_embed")(images)
+        x = x.reshape(B, gh * gw, C)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C))
+        tokens = [jnp.broadcast_to(cls, (B, 1, C)).astype(cfg.dtype)]
+        if cfg.num_register_tokens:
+            reg = self.param("register_tokens", nn.initializers.zeros,
+                             (1, cfg.num_register_tokens, C))
+            tokens.append(jnp.broadcast_to(
+                reg, (B, cfg.num_register_tokens, C)).astype(cfg.dtype))
+        x = jnp.concatenate(tokens + [x], axis=1)
+
+        if not cfg.use_rope:
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, cfg.num_prefix_tokens + cfg.num_patches, C))
+            x = x + pos.astype(cfg.dtype)
+
+        rope_angles = (
+            _rope_angles(gh, gw, C // cfg.num_heads)
+            if cfg.use_rope else None)
+
+        for i in range(cfg.num_layers):
+            x = ViTBlock(cfg, name=f"block{i}")(x, rope_angles)
+        x = nn.LayerNorm(dtype=cfg.dtype, name="norm")(x)
+
+        n_pre = cfg.num_prefix_tokens
+        if self.register_slice_compat:
+            # reference camera.py:57-58: feats[1:-4] regardless of layout
+            patch_tokens = x[:, 1:-4]
+        else:
+            patch_tokens = x[:, n_pre:]
+        return {
+            "patch_features": patch_tokens,
+            "global_features": x[:, 0],
+        }
+
+
+def preprocess_images(images_uint8_or_float, target_hw, dtype=jnp.float32):
+    """Resize + ImageNet-normalize a batch of images on device.
+
+    Replaces the per-image HF processor calls of the reference
+    (camera.py:53-56). Accepts (..., H, W, 3) uint8 [0,255] or float [0,1];
+    returns (..., H', W', 3) normalized.
+    """
+    x = jnp.asarray(images_uint8_or_float)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    x = x.astype(jnp.float32)
+    lead = x.shape[:-3]
+    x = jax.image.resize(
+        x, lead + (target_hw[0], target_hw[1], 3), method="bilinear")
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((x - mean) / std).astype(dtype)

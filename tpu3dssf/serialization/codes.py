@@ -26,6 +26,20 @@ _OFF = 1 << (GRID_BITS - 1)
 SERIALIZATION_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
 
 
+def pack_cell_keys(grid_coords):
+    """Pack (..., 3) int32 grid coords into 2-int32 lexicographic keys.
+
+    Non-interleaved (plain row-major cell id) — used for grouping points by
+    cell (voxelization, grid pooling), where any injective key works.
+    x sits in hi, (y, z) packed into lo at GRID_BITS each.
+    """
+    g = grid_coords.astype(jnp.int32) + _OFF
+    mask = (1 << GRID_BITS) - 1
+    hi = g[..., 0] & mask
+    lo = ((g[..., 1] & mask) << GRID_BITS) | (g[..., 2] & mask)
+    return hi, lo
+
+
 def _interleave3(x, y, z, bits=GRID_BITS):
     """Bit-interleave three ``bits``-wide non-negative int32 arrays.
 

@@ -1,0 +1,213 @@
+"""jit-compiled train/eval loops.
+
+Rebuilds the reference orchestration (utils/train.py:13-158,
+utils/test.py:12-89) TPU-first: one donated-state jit step per batch
+(forward + loss + backward + optimizer fused into a single XLA program),
+frozen ViT feature extraction as its own jit function, metrics accumulated
+as confusion matrices on device, best-val-accuracy checkpointing via Orbax.
+
+The reference's per-step structure — 6 sequential per-view encoder calls
+with CPU round-trips (train.py:71-77, camera.py:59-60), per-sample Python
+voxelization (lidar.py:45-61) — is collapsed into two compiled calls:
+``encode_fn`` (all views at once) and ``step_fn``.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dssf.losses import CELSLoss
+from tpu3dssf.metrics import (
+    confusion_matrix,
+    evaluate_from_confusion,
+    format_metrics,
+)
+from tpu3dssf.train.checkpoint import save_checkpoint
+from tpu3dssf.utils.logging import MetricLogger, NullLogger
+
+
+def make_image_encode_fn(vit_model, vit_params, encoder_hw,
+                         compute_dtype=jnp.float32):
+    """jit fn: raw images (B, N_cam, H, W, 3) uint8 → patch tokens.
+
+    The ViT is frozen (reference excludes it from the optimizer,
+    SURVEY.md §3.1 note), so its params are closure constants and the
+    whole 6-view batch is one forward.
+    """
+    from tpu3dssf.models.vit import preprocess_images
+
+    @jax.jit
+    def encode(images):
+        B, n_cam = images.shape[:2]
+        x = preprocess_images(images, encoder_hw, dtype=compute_dtype)
+        x = x.reshape((B * n_cam,) + x.shape[2:])
+        out = vit_model.apply(vit_params, x)
+        tokens = out["patch_features"]
+        return tokens.reshape(B, n_cam, tokens.shape[1], tokens.shape[2])
+
+    return encode
+
+
+def make_train_step(loss_fn: CELSLoss):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, patch_tokens):
+        def compute_loss(params):
+            logits = state.apply_fn(
+                params, batch["points"], batch["point_valid"],
+                patch_tokens, batch["cam_intrinsics"], batch["lidar2cam"])
+            out = loss_fn(logits, batch["labels"], batch["mask"])
+            return out.total, out
+
+        (_, out), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": out.total,
+            "ce": out.ce,
+            "lovasz": out.lovasz,
+            "correct": out.num_correct,
+            "valid": out.num_valid,
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(loss_fn: CELSLoss, num_classes: int):
+    @jax.jit
+    def eval_step(state, batch, patch_tokens):
+        logits = state.apply_fn(
+            state.params, batch["points"], batch["point_valid"],
+            patch_tokens, batch["cam_intrinsics"], batch["lidar2cam"])
+        out = loss_fn(logits, batch["labels"], batch["mask"])
+        cm = confusion_matrix(
+            out.predictions, batch["labels"], num_classes, out.valid)
+        return {
+            "loss": out.total,
+            "ce": out.ce,
+            "lovasz": out.lovasz,
+            "correct": out.num_correct,
+            "valid": out.num_valid,
+            "confusion": cm,
+        }
+
+    return eval_step
+
+
+def _device_batch(batch, encode_fn):
+    """Split host batch into (model inputs, patch tokens)."""
+    images = batch.pop("images", None)
+    if encode_fn is not None and images is not None:
+        tokens = encode_fn(images)
+    else:
+        tokens = None
+    return batch, tokens
+
+
+def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
+                   num_classes: int, zero_tokens=None,
+                   logger: Optional[MetricLogger] = None,
+                   verbose: bool = True):
+    """Full-split evaluation → the reference ``evaluate`` metrics dict."""
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    total_loss, correct, valid, it = 0.0, 0, 0, 0
+    for batch in pipeline_iter:
+        batch, tokens = _device_batch(batch, encode_fn)
+        if tokens is None:
+            tokens = zero_tokens
+        m = eval_step(state, batch, tokens)
+        cm = cm + m["confusion"]
+        total_loss += float(m["loss"])
+        correct += int(m["correct"])
+        valid += int(m["valid"])
+        it += 1
+    metrics = jax.tree.map(
+        lambda x: np.asarray(x),
+        evaluate_from_confusion(cm, total_loss, correct, valid, max(it, 1)))
+    if verbose:
+        print(format_metrics(metrics))
+    return metrics
+
+
+def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
+                encode_fn, num_classes: int, num_epochs: int,
+                save_dir: Optional[str] = None,
+                logger: Optional[MetricLogger] = None,
+                zero_tokens_fn: Optional[Callable] = None,
+                log_every: int = 10):
+    """Epoch loop with best-val-acc Orbax checkpointing.
+
+    Mirrors reference train_model's contract (utils/train.py:13):
+    returns (train_acc_history, val_acc_history) and leaves ``state``
+    holding the final params; the best-by-val-accuracy state is saved
+    under ``save_dir``.
+    """
+    logger = logger or NullLogger()
+    train_step = make_train_step(loss_fn)
+    eval_step = make_eval_step(loss_fn, num_classes)
+
+    tr_hist, val_hist = [], []
+    best_acc = -1.0
+    global_step = 0
+
+    for epoch in range(num_epochs):
+        print(f"Epoch {epoch}/{num_epochs - 1}\n" + "-" * 20)
+
+        # ---- train phase ----
+        run_loss, run_correct, run_valid, it = 0.0, 0, 0, 0
+        t0 = time.perf_counter()
+        for batch in dataloaders["train"]:
+            batch, tokens = _device_batch(batch, encode_fn)
+            if tokens is None and zero_tokens_fn is not None:
+                tokens = zero_tokens_fn(batch)
+            state, m = train_step(state, batch, tokens)
+            run_loss += float(m["loss"])
+            run_correct += int(m["correct"])
+            run_valid += int(m["valid"])
+            it += 1
+            global_step += 1
+            if it % log_every == 0:
+                dt = (time.perf_counter() - t0) / it
+                print(f"  [train {it}] loss={run_loss/it:.4f} "
+                      f"acc={run_correct/max(run_valid,1):.4f} "
+                      f"({dt*1000:.0f} ms/step)")
+            logger.log({
+                "train/loss": run_loss / it,
+                "train/acc": run_correct / max(run_valid, 1),
+                "step": global_step,
+            })
+        tr_acc = run_correct / max(run_valid, 1)
+        tr_hist.append(tr_acc)
+
+        # ---- val phase ----
+        metrics = evaluate_model(
+            state, dataloaders["val"], eval_step, encode_fn, num_classes,
+            zero_tokens=None if zero_tokens_fn is None else None)
+        val_acc = float(metrics["overall_acc"])
+        val_hist.append(val_acc)
+        logger.log({
+            "val/loss": float(metrics["loss"]),
+            "val/acc": val_acc,
+            "val/mean_IoU": float(metrics["mean_iou"]),
+            "val/mean_per_class_acc": float(metrics["mean_per_class_acc"]),
+            "val/precision": float(metrics["precision"]),
+            "val/recall": float(metrics["recall"]),
+            "val/f1": float(metrics["f1"]),
+            "epoch": epoch,
+        })
+
+        if val_acc > best_acc:
+            best_acc = val_acc
+            if save_dir:
+                save_checkpoint(save_dir, epoch, state,
+                                extra={"best_acc": float(best_acc),
+                                       "epoch": epoch})
+
+    print(f"Best val Acc: {best_acc:.4f}")
+    return tr_hist, val_hist

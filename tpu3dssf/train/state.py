@@ -1,0 +1,82 @@
+"""Train state + optimizer/scheduler factory (optax).
+
+Rebuilds the reference's optimizer selection (main_train.py:81-86:
+AdamW | Adam | SGD(momentum)) and — unlike the reference — actually wires
+the ``lr_scheduler`` key it declares but never constructs
+(nuscenesTestConfig22.yaml:74; SURVEY.md §5 dead-key list). ``nesterov``
+reaches SGD here (the reference drops it, main_train.py:86).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState (params + optax state + step)."""
+
+
+def create_schedule(name: str, base_lr: float, steps_per_epoch: int,
+                    num_epochs: int, step_size: int = 10,
+                    gamma: float = 0.1, t0: int = 10, t_mult: int = 2):
+    """optax schedule for the reference's lr_scheduler names."""
+    total = max(1, steps_per_epoch * num_epochs)
+    if name in ("none", None, ""):
+        return base_lr
+    if name == "StepLR":
+        return optax.exponential_decay(
+            base_lr, transition_steps=step_size * steps_per_epoch,
+            decay_rate=gamma, staircase=True)
+    if name == "CosineAnnealingLR":
+        return optax.cosine_decay_schedule(base_lr, decay_steps=total)
+    if name == "CosineAnnealingWarmRestarts":
+        return optax.sgdr_schedule([
+            dict(init_value=base_lr, peak_value=base_lr,
+                 decay_steps=t0 * steps_per_epoch * (t_mult ** i),
+                 warmup_steps=0, end_value=0.0)
+            for i in range(4)
+        ])
+    if name == "ReduceLROnPlateau":
+        # handled by chaining contrib.reduce_on_plateau in create_optimizer
+        return base_lr
+    raise ValueError(f"unknown lr_scheduler: {name}")
+
+
+def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
+                     momentum: float = 0.9, nesterov: bool = False,
+                     lr_scheduler: str = "none",
+                     steps_per_epoch: int = 1, num_epochs: int = 1,
+                     grad_clip: Optional[float] = None):
+    schedule = create_schedule(lr_scheduler, learning_rate,
+                               steps_per_epoch, num_epochs)
+    if name == "AdamW":
+        tx = optax.adamw(schedule, weight_decay=weight_decay)
+    elif name == "Adam":
+        # torch Adam applies weight_decay as L2 into the gradient
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay)
+            if weight_decay else optax.identity(),
+            optax.adam(schedule),
+        )
+    elif name == "SGD":
+        tx = optax.sgd(schedule, momentum=momentum, nesterov=nesterov)
+    else:
+        raise ValueError(f"unknown optimizer: {name}")
+
+    parts = []
+    if grad_clip:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(tx)
+    if lr_scheduler == "ReduceLROnPlateau":
+        parts.append(optax.contrib.reduce_on_plateau(
+            factor=0.1, patience=10))
+    return optax.chain(*parts) if len(parts) > 1 else parts[0]
+
+
+def create_train_state(model, params, optimizer) -> TrainState:
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=optimizer)

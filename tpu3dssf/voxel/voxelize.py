@@ -27,11 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# 16 bits per axis after offsetting → grid coords must fit in [-2^15, 2^15).
-# At 0.05 m voxels that is ±1.6 km — far beyond any LiDAR range.
-_AXIS_BITS = 16
-_AXIS_OFF = 1 << (_AXIS_BITS - 1)
-_AXIS_MASK = (1 << _AXIS_BITS) - 1
+from tpu3dssf.serialization.codes import pack_cell_keys
 
 # Reference 5-NN intensity weights (utils/lidar.py:101).
 KNN_INTENSITY_WEIGHTS = (0.4, 0.3, 0.2, 0.05, 0.05)
@@ -59,14 +55,6 @@ class VoxelizeResult(NamedTuple):
     point_ok: jax.Array
 
 
-def _cell_keys(grid_coords):
-    """Pack (P, 3) int32 grid coords into two int32 lexicographic keys."""
-    g = grid_coords + _AXIS_OFF
-    hi = g[:, 0] & _AXIS_MASK
-    lo = ((g[:, 1] & _AXIS_MASK) << _AXIS_BITS) | (g[:, 2] & _AXIS_MASK)
-    return hi, lo
-
-
 def voxelize(points, point_mask, voxel_size, capacity,
              intensity_mode="mean"):
     """Centroid voxel downsample at fixed capacity, fully on device.
@@ -87,7 +75,7 @@ def voxelize(points, point_mask, voxel_size, capacity,
     P = points.shape[0]
     xyz = points[:, :3]
     grid = jnp.floor(xyz / voxel_size).astype(jnp.int32)
-    hi, lo = _cell_keys(grid)
+    hi, lo = pack_cell_keys(grid)
 
     # Invalid points sort to the very end.
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
