@@ -1,0 +1,137 @@
+"""End-to-end fused-inference benchmark on one TPU chip.
+
+Measures the reference's headline workload (BASELINE.json config 3): full
+DINOv3 ViT-S/16 + PTv3 fusion inference — 6 camera images + one ~34k-point
+LiDAR sweep → per-point class logits — and reports fused points/sec/chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput (BASELINE.md:14), so
+the denominator is a documented estimate of the reference pipeline on its
+own hardware (A40, fp16): per frame ≈ 6 ViT-S forwards (~1.2 TFLOP, ~10 ms
++ ~120 ms host-side HF preprocessing, camera.py:53-56) + CPU
+voxelization round-trip (Open3D + sklearn 5-NN on 34k pts, ~150 ms,
+lidar.py:83-118) + PTv3 (~30 ms) + dense 34k x 25k cdist devoxelize
+(~3.4 GB traffic, ~30 ms, lidar.py:147-150) ≈ 340 ms → ~100k points/s.
+We use baseline = 100_000 points/s (generous to the reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_POINTS_PER_SEC = 100_000.0
+
+POINT_CAP = 34816      # ~one nuScenes sweep, multiple of 1024
+VOXEL_CAP = 25600      # ~34k pts at 0.1 m voxels, multiple of window
+WINDOW = 1024
+BATCH = 1
+IMAGE_HW = (640, 1138)  # dinov3 encoder input (camera.py:27)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig,
+                                        SegmentationPipeline)
+    from tpu3dssf.models.ptv3 import PTv3Config
+    from tpu3dssf.models.vit import (VisionTransformer, dinov3_small,
+                                     preprocess_images)
+    from tpu3dssf.data import SyntheticNuScenes
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    print(f"[bench] backend={jax.default_backend()} dtype={dtype.__name__}",
+          file=sys.stderr)
+
+    # ---- models ----
+    vit_cfg = dinov3_small()
+    vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype})
+    vit = VisionTransformer(vit_cfg)
+
+    pipe_cfg = PipelineConfig(
+        fusion=FusionConfig(dtype=dtype),
+        ptv3=PTv3Config(enc_window=(WINDOW,) * 5, dec_window=(WINDOW,) * 4,
+                        use_pallas=on_tpu, dtype=dtype),
+        voxel_size=0.1,
+        voxel_capacity=VOXEL_CAP,
+    )
+    model = SegmentationPipeline(pipe_cfg)
+
+    # ---- data (synthetic sweep at nuScenes scale) ----
+    ds = SyntheticNuScenes(num_samples=1, num_points=POINT_CAP,
+                           image_hw=(900, 1600))
+    s = ds[0]
+    points = jnp.asarray(s["points"][None], jnp.float32)
+    valid = jnp.ones((BATCH, POINT_CAP), bool)
+    images = jnp.asarray(s["images"][None])  # (1, 6, 900, 1600, 3) uint8
+    K = jnp.asarray(s["cam_intrinsics"][None])
+    Rt = jnp.asarray(s["lidar2cam"][None])
+
+    rngk = jax.random.PRNGKey(0)
+    # jit the inits: eager init dispatches thousands of tiny ops, each a
+    # round-trip over the tunneled-TPU transport
+    t0 = time.perf_counter()
+    vit_params = jax.jit(vit.init)(
+        rngk, jnp.zeros((1,) + IMAGE_HW + (3,), dtype))
+    jax.block_until_ready(vit_params)
+    print(f"[bench] vit init {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    @jax.jit
+    def encode(imgs):
+        x = preprocess_images(imgs, IMAGE_HW, dtype=dtype)
+        x = x.reshape((BATCH * 6,) + x.shape[2:])
+        out = vit.apply(vit_params, x)
+        t = out["patch_features"]
+        return t.reshape(BATCH, 6, t.shape[1], t.shape[2])
+
+    t0 = time.perf_counter()
+    tokens0 = jax.block_until_ready(encode(images))
+    print(f"[bench] encode compile {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(rngk, points, valid, tokens0, K, Rt)
+    jax.block_until_ready(params)
+    print(f"[bench] pipeline init {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    @jax.jit
+    def fused_infer(imgs, pts, pv, cam_k, l2c):
+        tokens = encode(imgs)
+        return model.apply(params, pts, pv, tokens, cam_k, l2c)
+
+    # ---- measure ----
+    t0 = time.perf_counter()
+    out = fused_infer(images, points, valid, K, Rt)
+    out.block_until_ready()
+    print(f"[bench] fused compile {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    n_iter = 20 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fused_infer(images, points, valid, K, Rt)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+    pts_per_sec = POINT_CAP * BATCH / dt
+
+    print(f"[bench] e2e latency {dt*1e3:.1f} ms/frame "
+          f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "fused_points_per_sec_per_chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

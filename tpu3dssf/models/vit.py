@@ -169,9 +169,12 @@ class VisionTransformer(nn.Module):
         C = cfg.hidden_size
         gh, gw = cfg.grid_size
 
+        # VALID padding: 1138 px / 16 → 71 patches with 2 px dropped,
+        # matching the HF conv patchifier (grid 40x71, fusion_model.py:172)
         x = nn.Conv(C, kernel_size=(cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size),
-                    dtype=cfg.dtype, name="patch_embed")(images)
+                    padding="VALID", dtype=cfg.dtype,
+                    name="patch_embed")(images)
         x = x.reshape(B, gh * gw, C)
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C))

@@ -1,0 +1,15 @@
+from tpu3dssf.parallel.mesh import (
+    create_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+    replicated_sharding,
+)
+
+__all__ = [
+    "create_mesh",
+    "shard_batch",
+    "replicate",
+    "batch_sharding",
+    "replicated_sharding",
+]

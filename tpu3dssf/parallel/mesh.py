@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers (data parallelism over scenes).
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.4: no
+torch.distributed/NCCL anywhere). Here scaling is SPMD: a 1-D ``data``
+mesh axis shards the scene batch across chips; params are replicated;
+XLA inserts the gradient all-reduces (psum over ICI) during jit
+partitioning. The confusion-matrix metric reduction is a plain sum of
+per-shard (C, C) matrices, so eval sharding needs nothing special.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``
+and the same code spans slices (DCN between hosts, ICI inside).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(shape: Optional[Tuple[int, ...]] = None,
+                axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Build a Mesh over all visible devices (default: 1-D data axis)."""
+    if shape is None:
+        shape = (jax.device_count(),)
+    devices = mesh_utils.create_device_mesh(shape)
+    return Mesh(devices, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """device_put every array leaf with its batch dim sharded over ``axis``.
+
+    Batch size must be divisible by the mesh axis size.
+    """
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

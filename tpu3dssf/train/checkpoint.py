@@ -25,13 +25,16 @@ def _mngr(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     )
 
 
+# fixed metadata schema so save/restore trees always match structurally
+_EXTRA_DEFAULTS: Dict[str, Any] = {"best_acc": 0.0, "epoch": 0}
+
+
 def save_checkpoint(directory: str, step: int, state,
                     extra: Optional[Dict[str, Any]] = None):
     """Save a pytree train state (+ small metadata dict)."""
     with _mngr(directory) as mngr:
-        payload = {"state": state}
-        if extra:
-            payload["extra"] = extra
+        payload = {"state": state,
+                   "extra": {**_EXTRA_DEFAULTS, **(extra or {})}}
         mngr.save(step, args=ocp.args.StandardSave(payload))
         mngr.wait_until_finished()
 
@@ -52,11 +55,7 @@ def restore_checkpoint(directory: str, step: Optional[int], state):
         if step is None:
             raise FileNotFoundError(
                 f"no checkpoint found in {directory}")
-        target = {"state": state, "extra": {}}
-        try:
-            restored = mngr.restore(
-                step, args=ocp.args.StandardRestore(target))
-        except BaseException:
-            restored = mngr.restore(
-                step, args=ocp.args.StandardRestore({"state": state}))
+        target = {"state": state, "extra": dict(_EXTRA_DEFAULTS)}
+        restored = mngr.restore(
+            step, args=ocp.args.StandardRestore(target))
         return restored["state"], restored.get("extra", {}), step

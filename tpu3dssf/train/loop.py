@@ -100,27 +100,27 @@ def make_eval_step(loss_fn: CELSLoss, num_classes: int):
     return eval_step
 
 
-def _device_batch(batch, encode_fn):
+def _device_batch(batch, encode_fn, zero_tokens_fn=None):
     """Split host batch into (model inputs, patch tokens)."""
     images = batch.pop("images", None)
     if encode_fn is not None and images is not None:
         tokens = encode_fn(images)
+    elif zero_tokens_fn is not None:
+        tokens = zero_tokens_fn(batch)
     else:
         tokens = None
     return batch, tokens
 
 
 def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
-                   num_classes: int, zero_tokens=None,
+                   num_classes: int, zero_tokens_fn=None,
                    logger: Optional[MetricLogger] = None,
                    verbose: bool = True):
     """Full-split evaluation → the reference ``evaluate`` metrics dict."""
     cm = jnp.zeros((num_classes, num_classes), jnp.int32)
     total_loss, correct, valid, it = 0.0, 0, 0, 0
     for batch in pipeline_iter:
-        batch, tokens = _device_batch(batch, encode_fn)
-        if tokens is None:
-            tokens = zero_tokens
+        batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
         m = eval_step(state, batch, tokens)
         cm = cm + m["confusion"]
         total_loss += float(m["loss"])
@@ -163,9 +163,7 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
         run_loss, run_correct, run_valid, it = 0.0, 0, 0, 0
         t0 = time.perf_counter()
         for batch in dataloaders["train"]:
-            batch, tokens = _device_batch(batch, encode_fn)
-            if tokens is None and zero_tokens_fn is not None:
-                tokens = zero_tokens_fn(batch)
+            batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
             state, m = train_step(state, batch, tokens)
             run_loss += float(m["loss"])
             run_correct += int(m["correct"])
@@ -188,7 +186,7 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
         # ---- val phase ----
         metrics = evaluate_model(
             state, dataloaders["val"], eval_step, encode_fn, num_classes,
-            zero_tokens=None if zero_tokens_fn is None else None)
+            zero_tokens_fn=zero_tokens_fn)
         val_acc = float(metrics["overall_acc"])
         val_hist.append(val_acc)
         logger.log({
