@@ -52,7 +52,8 @@ def main():
 
     # ---- models ----
     vit_cfg = dinov3_small()
-    vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype})
+    vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype,
+                               "use_flash": on_tpu})
     vit = VisionTransformer(vit_cfg)
 
     pipe_cfg = PipelineConfig(
@@ -114,11 +115,13 @@ def main():
     print(f"[bench] fused compile {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
+    # per-call blocking: on the tunneled-TPU transport, blocking only on
+    # the last of N async dispatches can return before execution finishes
     n_iter = 20 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = fused_infer(images, points, valid, K, Rt)
-    out.block_until_ready()
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iter
     pts_per_sec = POINT_CAP * BATCH / dt
 

@@ -1,0 +1,101 @@
+"""Config-system tests: reference schema honored + validation."""
+
+import pytest
+
+from tpu3dssf.config import load_config
+
+
+def _base():
+    return {
+        "format_version": 0.1,
+        "debug": False,
+        "dataset_params": {
+            "label_mapping": "./configs/label_mapping/nuscenes.yaml",
+            "class_weights": [1.0] * 16,
+            "train_data_loader": {"data_path": "/d", "batch_size": 12,
+                                  "shuffle": True, "num_workers": 0},
+            "val_data_loader": {"data_path": "/d", "batch_size": 12,
+                                "shuffle": True, "num_workers": 0},
+            "test_data_loader": {"data_path": "/d", "batch_size": 1,
+                                 "shuffle": True, "num_workers": 0},
+            "lidar": {"voxel_size": 0.1},
+        },
+        "train_params": {
+            "train_best_weights": False,
+            "best_model_path": "./ck/",
+            "checkpoint_path": "./ck/",
+            "image_encoder": "dinov3",
+            "mlp_class": 16,
+            "max_num_epochs": 10,
+            "learning_rate": 5e-4,
+            "optimizer": "AdamW",
+            "lr_scheduler": "CosineAnnealingLR",
+            "momentum": 0.9,
+            "nesterov": True,
+            "weight_decay": 1e-3,
+            "lambda_lovasz": 1,
+        },
+        "test_params": {"checkpoint_path": "./ck/"},
+    }
+
+
+def test_reference_schema_loads():
+    cfg = load_config(_base())
+    assert cfg.optimizer == "AdamW"
+    assert cfg.voxel_size == 0.1
+    assert cfg.train_loader.batch_size == 12
+    assert len(cfg.class_weights) == 16
+    assert cfg.lr_scheduler == "CosineAnnealingLR"
+    assert cfg.nesterov is True
+    # tpu defaults applied without a tpu_params section
+    assert cfg.tpu.voxel_capacity % cfg.tpu.window_size == 0
+
+
+def test_dead_reference_keys_warn_but_load():
+    d = _base()
+    d["train_params"]["lambda_seg2d"] = 1
+    d["train_params"]["lambda_xm"] = 0.05
+    with pytest.warns(UserWarning, match="lambda_seg2d"):
+        cfg = load_config(d)
+    assert cfg.lambda_lovasz == 1.0
+
+
+def test_invalid_optimizer_rejected():
+    d = _base()
+    d["train_params"]["optimizer"] = "RMSProp"
+    with pytest.raises(ValueError, match="optimizer"):
+        load_config(d)
+
+
+def test_mismatched_class_weights_rejected():
+    d = _base()
+    d["dataset_params"]["class_weights"] = [1.0] * 5
+    with pytest.raises(ValueError, match="class_weights"):
+        load_config(d)
+
+
+def test_voxel_capacity_window_divisibility():
+    d = _base()
+    d["tpu_params"] = {"voxel_capacity": 1000, "window_size": 256}
+    with pytest.raises(ValueError, match="multiple"):
+        load_config(d)
+
+
+def test_repo_configs_load():
+    for path in ("configs/nuscenes_default.yaml",
+                 "configs/synthetic_debug.yaml"):
+        cfg = load_config(path)
+        assert cfg.mlp_class == 16
+
+
+def test_reference_config_file_loads_unchanged():
+    # the actual upstream sweep config must parse (schema compatibility)
+    import os
+    ref = "/root/reference/config/nuscenesTestConfig22.yaml"
+    if not os.path.exists(ref):
+        pytest.skip("reference mount unavailable")
+    cfg = load_config(ref)
+    assert cfg.optimizer == "AdamW"
+    assert cfg.learning_rate == 0.0005
+    assert cfg.voxel_size == 0.1
+    assert len(cfg.class_weights) == 16

@@ -1,0 +1,150 @@
+"""Train-stack tests: optimizer factory, steps, checkpointing, sharding."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tpu3dssf.losses import CELSLoss
+from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig)
+from tpu3dssf.models.lidar_only import LidarSegmentationModel
+from tpu3dssf.models.ptv3 import PTv3Config
+from tpu3dssf.train import (create_optimizer, create_train_state)
+from tpu3dssf.train.checkpoint import restore_checkpoint, save_checkpoint
+from tpu3dssf.train.loop import make_eval_step, make_train_step
+
+
+def _tiny_model():
+    cfg = PipelineConfig(
+        fusion=FusionConfig(),
+        ptv3=PTv3Config(orders=("z",), enc_depths=(1, 1),
+                        enc_channels=(8, 8), enc_heads=(1, 1),
+                        enc_window=(16, 16), dec_depths=(1,),
+                        dec_channels=(8,), dec_heads=(1,),
+                        dec_window=(16,), use_pallas=False),
+        voxel_size=0.5, voxel_capacity=64)
+    return LidarSegmentationModel(cfg)
+
+
+def _batch(rng, B=2, P=128):
+    return {
+        "points": jnp.asarray(np.concatenate(
+            [rng.normal(size=(B, P, 3)) * 5, rng.random((B, P, 1))],
+            -1), jnp.float32),
+        "point_valid": jnp.ones((B, P), bool),
+        "labels": jnp.asarray(rng.integers(0, 17, size=(B, P)),
+                              jnp.int32),
+        "mask": jnp.ones((B, P), bool),
+        "cam_intrinsics": jnp.zeros((B, 6, 3, 3)),
+        "lidar2cam": jnp.zeros((B, 6, 4, 4)),
+    }
+
+
+def _tokens(B):
+    return jnp.zeros((B, 1, 1, 1), jnp.float32)
+
+
+def _make_state(model, batch, opt=None):
+    params = model.init(jax.random.PRNGKey(0), batch["points"],
+                        batch["point_valid"], _tokens(2),
+                        batch["cam_intrinsics"], batch["lidar2cam"])
+    opt = opt or optax.adamw(1e-3)
+    return create_train_state(model, params, opt)
+
+
+def test_optimizer_factory_variants():
+    for name in ("AdamW", "Adam", "SGD"):
+        tx = create_optimizer(name, 1e-3, weight_decay=1e-2,
+                              nesterov=True)
+        state = tx.init({"w": jnp.ones(3)})
+        assert state is not None
+    for sched in ("StepLR", "CosineAnnealingLR",
+                  "CosineAnnealingWarmRestarts", "ReduceLROnPlateau",
+                  "none"):
+        tx = create_optimizer("AdamW", 1e-3, lr_scheduler=sched,
+                              steps_per_epoch=10, num_epochs=5)
+        assert tx.init({"w": jnp.ones(3)}) is not None
+    with pytest.raises(ValueError):
+        create_optimizer("Adagrad", 1e-3)
+
+
+def test_train_step_reduces_loss(rng):
+    model = _tiny_model()
+    batch = _batch(rng)
+    state = _make_state(model, batch, optax.adamw(5e-3))
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    step = make_train_step(loss_fn)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch, _tokens(2))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_step_confusion(rng):
+    model = _tiny_model()
+    batch = _batch(rng)
+    state = _make_state(model, batch)
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    estep = make_eval_step(loss_fn, 16)
+    m = estep(state, batch, _tokens(2))
+    cm = np.asarray(m["confusion"])
+    assert cm.shape == (16, 16)
+    assert cm.sum() == int(m["valid"])
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = _tiny_model()
+    batch = _batch(rng)
+    state = _make_state(model, batch)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 3, state, extra={"best_acc": 0.5, "epoch": 3})
+    restored, extra, step = restore_checkpoint(d, None, state)
+    assert step == 3
+    assert extra["best_acc"] == 0.5
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_step_on_virtual_mesh(rng):
+    """Full train step sharded over the 8-device virtual CPU mesh."""
+    from tpu3dssf.parallel import create_mesh, replicate, shard_batch
+    n = jax.device_count()
+    assert n == 8, f"conftest should give 8 virtual devices, got {n}"
+
+    model = _tiny_model()
+    batch_np = {k: np.asarray(v) for k, v in _batch(rng, B=8).items()}
+    mesh = create_mesh((8,), ("data",))
+    batch = shard_batch(batch_np, mesh)
+    tokens = jax.device_put(
+        np.zeros((8, 1, 1, 1), np.float32),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("data")))
+
+    state = _make_state(model, jax.tree.map(jnp.asarray, batch_np))
+    state = replicate(state, mesh)
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    step = make_train_step(loss_fn)
+    with mesh:
+        state2, m = step(state, batch, tokens)
+    assert np.isfinite(float(m["loss"]))
+
+    # replicated-state update must equal the single-device update
+    state_s = _make_state(model, jax.tree.map(jnp.asarray, batch_np))
+    step_s = make_train_step(loss_fn)
+    state_s2, m_s = step_s(state_s, jax.tree.map(jnp.asarray, batch_np),
+                           jnp.zeros((8, 1, 1, 1), jnp.float32))
+    np.testing.assert_allclose(float(m["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    a = np.asarray(jax.tree.leaves(state2.params)[0])
+    b = np.asarray(jax.tree.leaves(state_s2.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

@@ -1,0 +1,149 @@
+"""ViT tests (tiny configs, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu3dssf.models.vit import (
+    ViTConfig,
+    VisionTransformer,
+    dinov2_small,
+    dinov3_small,
+    preprocess_images,
+)
+
+
+def tiny(**kw):
+    base = dict(patch_size=8, image_size=(32, 48), hidden_size=16,
+                num_layers=2, num_heads=2)
+    base.update(kw)
+    return ViTConfig(**base)
+
+
+def test_preset_geometry():
+    v2 = dinov2_small()
+    assert v2.grid_size == (16, 16) and v2.num_patches == 256
+    v3 = dinov3_small()
+    # reference fusion_model.py:172-174: 640/16=40, 1138/16=71, 2840 total
+    assert v3.grid_size == (40, 71) and v3.num_patches == 2840
+    assert v3.num_register_tokens == 4
+
+
+def test_forward_shapes(rng):
+    cfg = tiny()
+    vit = VisionTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+    out = vit.apply(params, x)
+    assert out["patch_features"].shape == (2, 4 * 6, 16)
+    assert out["global_features"].shape == (2, 16)
+
+
+def test_register_tokens_layout(rng):
+    cfg = tiny(num_register_tokens=4)
+    vit = VisionTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+    out = vit.apply(params, x)
+    # registers excluded from patch features
+    assert out["patch_features"].shape == (1, 24, 16)
+
+    # reference-compat slice [1:-4] keeps registers + drops 4 patches
+    # (camera.py:57-58 quirk) — same COUNT, different content
+    compat = VisionTransformer(cfg, register_slice_compat=True)
+    out_c = compat.apply(params, x)
+    assert out_c["patch_features"].shape == (1, 24, 16)
+    assert not np.allclose(np.asarray(out["patch_features"]),
+                           np.asarray(out_c["patch_features"]))
+
+
+def test_rope_changes_attention(rng):
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    cfg_r = tiny(use_rope=True, num_register_tokens=2)
+    cfg_n = tiny(use_rope=False, num_register_tokens=2)
+    vit_r = VisionTransformer(cfg_r)
+    vit_n = VisionTransformer(cfg_n)
+    pr = vit_r.init(jax.random.PRNGKey(0), x)
+    out = vit_r.apply(pr, x)
+    assert np.isfinite(np.asarray(out["patch_features"])).all()
+    # rope config has no pos_embed param; abs-pos config does
+    names = jax.tree_util.tree_leaves_with_path(pr)
+    keys = {"/".join(str(p) for p in path) for path, _ in names}
+    assert not any("pos_embed" in k for k in keys)
+    pn = vit_n.init(jax.random.PRNGKey(0), x)
+    names_n = jax.tree_util.tree_leaves_with_path(pn)
+    keys_n = {"/".join(str(p) for p in path) for path, _ in names_n}
+    assert any("pos_embed" in k for k in keys_n)
+
+
+def test_flash_path_matches_einsum_on_cpu_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    cfg_f = tiny(use_flash=True, num_heads=2, hidden_size=16)
+    cfg_e = tiny(use_flash=False, num_heads=2, hidden_size=16)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    vit_e = VisionTransformer(cfg_e)
+    params = vit_e.init(jax.random.PRNGKey(0), x)
+    out_e = vit_e.apply(params, x)
+    vit_f = VisionTransformer(cfg_f)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = vit_f.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_e["patch_features"]),
+        np.asarray(out_f["patch_features"]), atol=2e-3)
+
+
+def test_preprocess_images(rng):
+    imgs = rng.integers(0, 255, (2, 3, 90, 160, 3), dtype=np.uint8)
+    out = preprocess_images(imgs, (45, 80))
+    assert out.shape == (2, 3, 45, 80, 3)
+    out_np = np.asarray(out)
+    # ImageNet normalization keeps values in a sane range
+    assert -3 < out_np.min() and out_np.max() < 3
+
+
+def test_weight_port_roundtrip(rng):
+    # fabricate an HF-style state dict for the tiny config and port it
+    from tpu3dssf.models.vit_port import port_hf_state_dict
+    cfg = tiny(num_register_tokens=0, layerscale_init=1e-5)
+    C, L = cfg.hidden_size, cfg.num_layers
+    M = cfg.num_patches
+
+    def t(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    sd = {
+        "embeddings.patch_embeddings.projection.weight": t(C, 3, 8, 8),
+        "embeddings.patch_embeddings.projection.bias": t(C),
+        "embeddings.cls_token": t(1, 1, C),
+        "embeddings.position_embeddings": t(1, M + 1, C),
+        "layernorm.weight": t(C), "layernorm.bias": t(C),
+    }
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        sd.update({
+            p + "norm1.weight": t(C), p + "norm1.bias": t(C),
+            p + "norm2.weight": t(C), p + "norm2.bias": t(C),
+            p + "attention.attention.query.weight": t(C, C),
+            p + "attention.attention.query.bias": t(C),
+            p + "attention.attention.key.weight": t(C, C),
+            p + "attention.attention.key.bias": t(C),
+            p + "attention.attention.value.weight": t(C, C),
+            p + "attention.attention.value.bias": t(C),
+            p + "attention.output.dense.weight": t(C, C),
+            p + "attention.output.dense.bias": t(C),
+            p + "layer_scale1.lambda1": t(C),
+            p + "layer_scale2.lambda1": t(C),
+            p + "mlp.fc1.weight": t(4 * C, C), p + "mlp.fc1.bias": t(4 * C),
+            p + "mlp.fc2.weight": t(C, 4 * C), p + "mlp.fc2.bias": t(C),
+        })
+
+    params = port_hf_state_dict(sd, cfg)
+    vit = VisionTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    # structure must match what init produces
+    ref_params = vit.init(jax.random.PRNGKey(0), x)
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref_params)
+    got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, params)
+    assert ref_shapes == got_shapes
+    out = vit.apply(params, x)
+    assert np.isfinite(np.asarray(out["patch_features"])).all()

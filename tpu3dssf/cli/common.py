@@ -43,7 +43,8 @@ def build_datasets(cfg: Config) -> Dict[str, object]:
                           ("test", cfg.test_loader)):
         out[split] = NuScenesDataset(
             dataroot=loader.data_path or cfg.train_loader.data_path,
-            version=version, split=split, learning_map=learning_map)
+            version=version, split=split, learning_map=learning_map,
+            point_capacity=cfg.tpu.point_capacity)
     return out
 
 
@@ -77,7 +78,9 @@ def build_image_encoder(cfg: Config):
         else jnp.float32
     vit_cfg = dinov3_small() if cfg.image_encoder == "dinov3" \
         else dinov2_small()
-    vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype})
+    use_flash = cfg.tpu.use_pallas and jax.default_backend() != "cpu"
+    vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype,
+                               "use_flash": use_flash})
     vit = VisionTransformer(vit_cfg)
 
     from tpu3dssf.models.vit_port import try_load_pretrained
@@ -123,6 +126,9 @@ def build_pipeline(cfg: Config, vit_cfg=None):
         intensity_mode=cfg.tpu.intensity_mode,
         devoxelize_mode=cfg.tpu.devoxelize_mode,
     )
+    if cfg.image_encoder == "none":
+        from tpu3dssf.models.lidar_only import LidarSegmentationModel
+        return LidarSegmentationModel(pipe), pipe
     return SegmentationPipeline(pipe), pipe
 
 
@@ -158,10 +164,12 @@ def build_loss(cfg: Config):
 
 
 def zero_tokens(cfg: Config, vit_cfg, batch_size: int):
-    """Placeholder tokens for the LiDAR-only path (image_encoder: none)."""
+    """Placeholder tokens for the LiDAR-only path (image_encoder: none).
+
+    LidarSegmentationModel ignores them, so keep the array trivial."""
     import jax.numpy as jnp
     if vit_cfg is None:
-        return jnp.zeros((batch_size, 6, 2840, 384), jnp.float32)
+        return jnp.zeros((batch_size, 1, 1, 1), jnp.float32)
     return jnp.zeros(
         (batch_size, 6, vit_cfg.num_patches, vit_cfg.hidden_size),
         jnp.float32)

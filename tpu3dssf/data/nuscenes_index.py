@@ -107,12 +107,16 @@ class NuScenesDataset:
                  learning_map: Optional[Dict[int, int]] = None,
                  scene_names: Optional[Sequence[str]] = None,
                  num_vote: int = 1, load_images: bool = True,
-                 train_fraction: float = 0.85):
+                 train_fraction: float = 0.85,
+                 point_capacity: Optional[int] = None):
         self.dataroot = dataroot
         self.version = version
         self.split = split
         self.num_vote = num_vote
         self.load_images = load_images
+        # when set and csrc/libtpu3dssf_io.so is built, point IO + label
+        # remap + fixed-capacity packing run in C (tpu3dssf.data.native)
+        self.point_capacity = point_capacity
         self.tables = _Tables(dataroot, version)
 
         if learning_map is not None:
@@ -178,14 +182,28 @@ class NuScenesDataset:
         lidar_token = rec["lidar_token"]
 
         lidar_path, seg_path = self._lidar_paths(lidar_token)
-        raw = np.fromfile(lidar_path, dtype=np.float32).reshape(-1, 5)
-        points = raw[:, :4].copy()
-        if seg_path is not None and os.path.exists(seg_path):
-            labels = np.fromfile(seg_path, dtype=np.uint8)
+
+        native = None
+        if self.point_capacity is not None:
+            from tpu3dssf.data.native import (get_native_loader,
+                                              load_sample_native)
+            if get_native_loader() is not None:
+                lut = (self.label_lut if self.label_lut is not None
+                       else np.arange(256, dtype=np.uint8))
+                native = load_sample_native(
+                    lidar_path, seg_path, lut, self.point_capacity)
+        if native is not None:
+            points = native["points"]
+            labels = native["labels"]
         else:
-            labels = np.zeros(points.shape[0], dtype=np.uint8)
-        if self.label_lut is not None:
-            labels = self.label_lut[labels]
+            raw = np.fromfile(lidar_path, dtype=np.float32).reshape(-1, 5)
+            points = raw[:, :4].copy()
+            if seg_path is not None and os.path.exists(seg_path):
+                labels = np.fromfile(seg_path, dtype=np.uint8)
+            else:
+                labels = np.zeros(points.shape[0], dtype=np.uint8)
+            if self.label_lut is not None:
+                labels = self.label_lut[labels]
 
         sd_lidar = self.tables.get("sample_data", lidar_token)
         cs_lidar = self.tables.get("calibrated_sensor",
@@ -215,8 +233,13 @@ class NuScenesDataset:
             "labels": labels,
             "cam_intrinsics": np.stack(K_list),
             "lidar2cam": np.stack(Rt_list),
-            "num_points": points.shape[0],
+            "num_points": (native["num_points"] if native is not None
+                           else points.shape[0]),
         }
+        if native is not None:
+            out["point_valid"] = native["point_valid"]
+            out["mask"] = native["mask"]
+            out["packed"] = True
         if self.load_images:
             out["images"] = np.stack(images)
         return out

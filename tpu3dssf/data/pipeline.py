@@ -30,6 +30,18 @@ import numpy as np
 def pack_sample(sample: Dict, point_capacity: int,
                 ignore_index: int = 0) -> Dict:
     """Pad/truncate one sample's points to the static capacity."""
+    if sample.get("packed"):
+        # native loader already packed at capacity (data/native.py)
+        assert sample["points"].shape[0] == point_capacity, (
+            "native pack capacity mismatch: "
+            f"{sample['points'].shape[0]} != {point_capacity}")
+        packed = {k: sample[k] for k in
+                  ("points", "labels", "point_valid", "mask",
+                   "cam_intrinsics", "lidar2cam")}
+        packed["num_points"] = np.int32(sample["num_points"])
+        if "images" in sample:
+            packed["images"] = sample["images"]
+        return packed
     pts = sample["points"]
     labels = sample["labels"].reshape(-1)
     P = min(pts.shape[0], point_capacity)

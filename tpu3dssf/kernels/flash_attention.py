@@ -1,0 +1,107 @@
+"""Pallas flash attention for full (non-windowed) self-attention.
+
+Used by the ViT image encoder (2845 tokens at DINOv3 geometry): XLA's
+naive attention writes the (B, H, N, N) score tensor to HBM
+(6 imgs x 6 heads x 2844² ≈ 0.5 GB per frame) — HBM-bandwidth bound.
+This kernel keeps each (batch, head)'s scores in VMEM: K/V for one head
+fit comfortably (N x 64 bf16 ≈ 380 KB), so each grid step computes one
+q-block against ALL keys with no HBM spill and no online-softmax carry.
+
+Layout (B, H, N, D); N padded to a q-block multiple by the caller wrapper
+(padded keys masked via additive bias). Backward = jax.vjp of the jnp
+reference (the ViT is frozen — reference excludes it from the optimizer,
+SURVEY.md §3.1 — so the backward path exists only for completeness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+_DEF_BLOCK_Q = 256
+
+
+def mha_reference(q, k, v, bias=None):
+    """jnp oracle: q,k,v (B, N, H, D); bias (B, 1|H, N) additive on keys."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    if bias is not None:
+        s = s + bias[:, :, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    q = q_ref[0, 0].astype(jnp.float32)          # (Bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)          # (N, D)
+    v = v_ref[0, 0].astype(jnp.float32)          # (N, D)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (Bq, N)
+    s = s + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    o_ref[0, 0] = jnp.dot(
+        p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _flash_call(q, k, v, bias, block_q):
+    B, H, N, D = q.shape
+    nq = N // block_q
+    qkv_spec_q = pl.BlockSpec((1, 1, block_q, D),
+                              lambda b, h, i: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, N, D), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, N), lambda b, h, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _flash_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        grid=(B, H, nq),
+        in_specs=[qkv_spec_q, kv_spec, kv_spec, bias_spec],
+        out_specs=qkv_spec_q,
+    )(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, block_q=_DEF_BLOCK_Q):
+    """Full MHA, q/k/v (B, N, H, D) → (B, N, H, D). Pads N internally."""
+    B, N, H, D = q.shape
+    Np = ((N + block_q - 1) // block_q) * block_q
+    pad = Np - N
+
+    def bhnd(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    bias = jnp.full((B, 1, Np), 0.0, jnp.float32)
+    if pad:
+        bias = bias.at[:, :, N:].set(_NEG)
+    out = _flash_call(bhnd(q), bhnd(k), bhnd(v), bias, block_q)
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :N]
+    return out
+
+
+def _fa_fwd(q, k, v, block_q):
+    return flash_attention(q, k, v, block_q), (q, k, v)
+
+
+def _fa_bwd(block_q, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -330,6 +330,13 @@ class PointTransformerV3(nn.Module):
         skips = []
         pools = []
 
+        def used_orders(depth):
+            # only sort the orders this stage's blocks (+ CPE) touch —
+            # depth-2 stages need 2 of the 4 curves, halving sort cost
+            used = {orders[b % len(orders)] for b in range(depth)}
+            used.add(cpe_order)
+            return tuple(o for o in orders if o in used)
+
         # ---- encoder ----
         for s in range(cfg.num_stages):
             if s > 0:
@@ -339,7 +346,8 @@ class PointTransformerV3(nn.Module):
                 )(x, grid, msk)
                 x, grid, msk, parent, parent_ok = pooled
                 pools.append((parent, parent_ok))
-            perms = _serialize_perms(grid, msk, orders)
+            perms = _serialize_perms(grid, msk,
+                                     used_orders(cfg.enc_depths[s]))
             for b in range(cfg.enc_depths[s]):
                 order = orders[b % len(orders)]
                 x = PTv3Block(
@@ -358,7 +366,8 @@ class PointTransformerV3(nn.Module):
                 cfg.dec_channels[d], dtype=cfg.dtype, name=f"unpool{d}",
             )(x, skip_x, parent, parent_ok, skip_mask)
             grid, msk = skip_grid, skip_mask
-            perms = _serialize_perms(grid, msk, orders)
+            perms = _serialize_perms(grid, msk,
+                                     used_orders(cfg.dec_depths[d]))
             for b in range(cfg.dec_depths[d]):
                 order = orders[b % len(orders)]
                 x = PTv3Block(

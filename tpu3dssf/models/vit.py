@@ -50,6 +50,7 @@ class ViTConfig:
     num_register_tokens: int = 0
     layerscale_init: Optional[float] = 1e-5
     use_rope: bool = False
+    use_flash: bool = False  # Pallas flash attention (TPU only)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -138,9 +139,13 @@ class ViTBlock(nn.Module):
         if cfg.use_rope and rope_angles is not None:
             q = _apply_rope(q, rope_angles, cfg.num_prefix_tokens)
             k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (D ** 0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        if cfg.use_flash:
+            from tpu3dssf.kernels import flash_attention
+            out = flash_attention(q, k, v).reshape(B, N, C)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (D ** 0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
         out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
         if cfg.layerscale_init is not None:
             out = LayerScale(C, cfg.layerscale_init, name="ls1")(out)

@@ -140,7 +140,9 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                 save_dir: Optional[str] = None,
                 logger: Optional[MetricLogger] = None,
                 zero_tokens_fn: Optional[Callable] = None,
-                log_every: int = 10):
+                log_every: int = 10,
+                profile_dir: Optional[str] = None,
+                profile_steps: tuple = (10, 13)):
     """Epoch loop with best-val-acc Orbax checkpointing.
 
     Mirrors reference train_model's contract (utils/train.py:13):
@@ -163,6 +165,12 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
         run_loss, run_correct, run_valid, it = 0.0, 0, 0, 0
         t0 = time.perf_counter()
         for batch in dataloaders["train"]:
+            # optional jax.profiler capture around a step window
+            if profile_dir and global_step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and global_step == profile_steps[1]:
+                jax.profiler.stop_trace()
+                print(f"[profiler] trace written to {profile_dir}")
             batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
             state, m = train_step(state, batch, tokens)
             run_loss += float(m["loss"])

@@ -1,0 +1,98 @@
+"""Trustworthy device timing on the tunneled-TPU transport.
+
+Host-side loop timings are unreliable here: ``block_until_ready`` on the
+axon backend can return before remote execution completes, so
+loop-then-block underestimates wildly. ``time_device`` instead runs the
+function N times inside ONE jitted ``lax.fori_loop`` (keeping the result
+live through a scalar reduction) and fetches a scalar — a single
+dispatch whose wall time is genuinely device compute.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _live_sum(tree) -> jax.Array:
+    leaves = [l for l in jax.tree.leaves(tree)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                        jnp.inexact)]
+    if not leaves:
+        leaves = [jnp.float32(0)]
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
+def time_device(fn: Callable, *args, iters: int = 10,
+                warmup: bool = True) -> float:
+    """Seconds per call of ``fn(*args)``, measured device-side.
+
+    The perturbation of the carry into the first argument prevents XLA
+    from hoisting the body out of the loop.
+    """
+
+    @jax.jit
+    def run(*a):
+        def body(i, acc):
+            first, rest = a[0], a[1:]
+            if hasattr(first, "dtype") and jnp.issubdtype(
+                    first.dtype, jnp.inexact):
+                first = first + (acc * 0).astype(first.dtype)
+            out = fn(first, *rest)
+            return acc + _live_sum(out)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    if warmup:
+        float(run(*args))  # compile + one timed run
+    t0 = time.perf_counter()
+    float(run(*args))      # scalar fetch forces full completion
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_efficiency(func, *args, **kwargs):
+    """Wall-time + device-memory snapshot around one call.
+
+    API-parity helper for reference utils/evaluation.py:76-81
+    (``measure_efficiency`` — wall time + cuda memory_allocated, never
+    actually called upstream). Memory comes from jax's per-device stats
+    when the backend exposes them.
+    """
+    t0 = time.perf_counter()
+    result = func(*args, **kwargs)
+    result = jax.block_until_ready(result)
+    runtime = time.perf_counter() - t0
+    mem_mb = 0.0
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            mem_mb = stats.get("bytes_in_use", 0) / (1024 ** 2)
+    except Exception:
+        pass
+    return result, {"runtime_sec": runtime, "mem_alloc_MB": mem_mb}
+
+
+class StepTimer:
+    """Rolling per-step wall-time tracker for train loops (the reference
+    has only tqdm postfix timing; this is a first-class metric)."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self._times = []
+        self._last = None
+
+    def tick(self):
+        now = time.perf_counter()
+        if self._last is not None:
+            self._times.append(now - self._last)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+        self._last = now
+
+    @property
+    def mean_ms(self) -> float:
+        return 1e3 * (sum(self._times) / len(self._times)) \
+            if self._times else 0.0
