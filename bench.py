@@ -109,20 +109,21 @@ def main():
         return model.apply(params, pts, pv, tokens, cam_k, l2c)
 
     # ---- measure ----
-    t0 = time.perf_counter()
-    out = fused_infer(images, points, valid, K, Rt)
-    out.block_until_ready()
-    print(f"[bench] fused compile {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    # Device-side timing: host-loop timings are unreliable over the
+    # tunneled-TPU transport (block_until_ready can return early and
+    # identical dispatches appear memoized), so run N frames inside ONE
+    # jitted fori_loop whose inputs depend on the carry (defeats
+    # hoisting) and fetch a scalar.
+    from tpu3dssf.utils.timing import time_device
 
-    # per-call blocking: on the tunneled-TPU transport, blocking only on
-    # the last of N async dispatches can return before execution finishes
-    n_iter = 20 if on_tpu else 2
+    n_iter = 10 if on_tpu else 2
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fused_infer(images, points, valid, K, Rt)
-        out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    dt = time_device(
+        lambda pts, im, pv, cam_k, l2c: fused_infer(im, pts, pv, cam_k,
+                                                    l2c),
+        points, images, valid, K, Rt, iters=n_iter)
+    print(f"[bench] compile+warmup {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
     pts_per_sec = POINT_CAP * BATCH / dt
 
     print(f"[bench] e2e latency {dt*1e3:.1f} ms/frame "

@@ -44,7 +44,31 @@ def test_pool_structure_groups_by_coarse_cell(rng):
     N = 32
     grid = jnp.asarray(rng.integers(-8, 8, size=(1, N, 3)), jnp.int32)
     mask = jnp.ones((1, N), bool)
-    seg, grid_out, mask_out, parent, parent_ok = _pool_structure(
+    _check_pool(grid, mask)
+
+
+def test_pool_structure_with_precomputed_perm(rng):
+    # the sort-reuse path: pooling over an existing hierarchical-curve
+    # permutation must produce the identical grouping
+    from tpu3dssf.serialization import serialization_keys, argsort_lex
+    N = 64
+    grid = jnp.asarray(rng.integers(-8, 8, size=(1, N, 3)), jnp.int32)
+    mask = jnp.asarray(rng.random((1, N)) > 0.2)
+    for order_name in ("z", "hilbert"):
+        hi, lo = serialization_keys(grid[0], order_name)
+        perm = argsort_lex(hi, lo, mask[0])[None]
+        _, _, g1, m1, p1, ok1 = _pool_structure(grid, mask, 64, perm)
+        _, _, g2, m2, p2, ok2 = _pool_structure(grid, mask, 64)
+        # same number of cells; same parent-cell coords per point
+        assert np.asarray(m1).sum() == np.asarray(m2).sum()
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        np.testing.assert_array_equal(
+            np.asarray(g1)[0][np.asarray(p1)[0][np.asarray(ok1)[0]]],
+            np.asarray(g2)[0][np.asarray(p2)[0][np.asarray(ok2)[0]]])
+
+
+def _check_pool(grid, mask):
+    seg_s, order, grid_out, mask_out, parent, parent_ok = _pool_structure(
         grid, mask, 32)
     coarse = np.asarray(grid)[0] >> 1
     n_cells = len({tuple(c) for c in coarse})

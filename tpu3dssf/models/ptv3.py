@@ -101,38 +101,46 @@ def _serialize_perms(grid, mask, orders):
     return out
 
 
-def _pool_structure(grid, mask, out_cap):
+def _pool_structure(grid, mask, out_cap, perm=None):
     """Grouping of a batched point set into 2x-coarser grid cells.
 
+    ``perm``: optional existing serialization permutation (any of the
+    space-filling curves — they are hierarchical, so points of one
+    coarse cell are contiguous along the sorted order and the pooling
+    sort can be skipped entirely). Without it, a fresh cell-key sort.
+
     Returns per batch entry:
-      seg:       (N,) int32 — coarse slot per point (out_cap for dropped),
+      seg_s:     (N,) int32 — coarse slot per SORTED point (out_cap for
+                 dropped),
+      order:     (N,) int32 — the sort permutation used,
       grid_out:  (out_cap, 3) int32 coarse cell coords,
       mask_out:  (out_cap,) bool,
-      parent:    (N,) int32 — slot for unpooling gathers (0-clamped),
+      parent:    (N,) int32 — slot per ORIGINAL point (0-clamped),
       parent_ok: (N,) bool.
     """
 
-    def one(g, m):
+    def one(g, m, pre_perm):
         n = g.shape[0]
         coarse = g >> 1
-        hi, lo = pack_cell_keys(coarse)
-        big = jnp.int32(jnp.iinfo(jnp.int32).max)
-        hi = jnp.where(m, hi, big)
-        lo = jnp.where(m, lo, big)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        hi_s, lo_s, perm = jax.lax.sort((hi, lo, idx), num_keys=2)
-        valid_s = m[perm]
+        if pre_perm is None:
+            hi, lo = pack_cell_keys(coarse)
+            big = jnp.int32(jnp.iinfo(jnp.int32).max)
+            hi = jnp.where(m, hi, big)
+            lo = jnp.where(m, lo, big)
+            idx = jnp.arange(n, dtype=jnp.int32)
+            _, _, order = jax.lax.sort((hi, lo, idx), num_keys=2)
+        else:
+            order = pre_perm
+        coarse_s = coarse[order]
+        valid_s = m[order]
+        diff = jnp.any(coarse_s[1:] != coarse_s[:-1], axis=-1)
         new = jnp.concatenate([
-            jnp.ones((1,), jnp.int32),
-            ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(
-                jnp.int32),
-        ])
+            jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)])
         new = jnp.where(valid_s, new, 0)
         vid_s = jnp.cumsum(new) - 1
         ok_s = valid_s & (vid_s >= 0) & (vid_s < out_cap)
         seg_s = jnp.where(ok_s, vid_s, out_cap)
 
-        coarse_s = coarse[perm]
         grid_out = jax.ops.segment_max(
             jnp.where(ok_s[:, None], coarse_s, _INT_MIN), seg_s,
             num_segments=out_cap + 1, indices_are_sorted=True)[:out_cap]
@@ -142,13 +150,14 @@ def _pool_structure(grid, mask, out_cap):
         mask_out = count > 0
         grid_out = jnp.where(mask_out[:, None], grid_out, 0)
 
-        parent = jnp.zeros((n,), jnp.int32).at[perm].set(
+        parent = jnp.zeros((n,), jnp.int32).at[order].set(
             jnp.clip(vid_s, 0, out_cap - 1).astype(jnp.int32))
-        parent_ok = jnp.zeros((n,), bool).at[perm].set(ok_s)
-        seg = jnp.where(parent_ok, parent, out_cap)
-        return seg, grid_out, mask_out, parent, parent_ok
+        parent_ok = jnp.zeros((n,), bool).at[order].set(ok_s)
+        return seg_s, order, grid_out, mask_out, parent, parent_ok
 
-    return jax.vmap(one)(grid, mask)
+    if perm is None:
+        return jax.vmap(lambda g, m: one(g, m, None))(grid, mask)
+    return jax.vmap(one)(grid, mask, perm)
 
 
 class SerializedCPE(nn.Module):
@@ -258,26 +267,33 @@ class PTv3Block(nn.Module):
 
 
 class SerializedPooling(nn.Module):
-    """Grid pooling: dense proj → segment-max over 2x-coarser cells."""
+    """Grid pooling: dense proj → segment-max over 2x-coarser cells.
+
+    Reuses the level's existing serialization permutation (hierarchical
+    curve ⇒ coarse cells are contiguous runs) so no extra sort runs.
+    """
 
     channels: int
     out_cap: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, grid, mask):
-        seg, grid_out, mask_out, parent, parent_ok = _pool_structure(
-            grid, mask, self.out_cap)
+    def __call__(self, x, grid, mask, perm=None):
+        seg_s, order, grid_out, mask_out, parent, parent_ok = \
+            _pool_structure(grid, mask, self.out_cap, perm)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
         neg = jnp.float32(-3.0e38)
 
-        def pool_one(hh, ss, ok):
+        def pool_one(hh, od, ss):
+            hs = hh[od].astype(jnp.float32)
+            ok = ss < self.out_cap
             pooled = jax.ops.segment_max(
-                jnp.where(ok[:, None], hh.astype(jnp.float32), neg),
-                ss, num_segments=self.out_cap + 1)[:self.out_cap]
+                jnp.where(ok[:, None], hs, neg), ss,
+                num_segments=self.out_cap + 1,
+                indices_are_sorted=True)[:self.out_cap]
             return pooled
 
-        pooled = jax.vmap(pool_one)(h, seg, parent_ok)
+        pooled = jax.vmap(pool_one)(h, order, seg_s)
         pooled = jnp.where(mask_out[..., None], pooled, 0.0).astype(
             self.dtype)
         pooled = nn.LayerNorm(dtype=self.dtype, name="norm")(pooled)
@@ -338,13 +354,13 @@ class PointTransformerV3(nn.Module):
             return tuple(o for o in orders if o in used)
 
         # ---- encoder ----
+        perms = None
         for s in range(cfg.num_stages):
             if s > 0:
-                pooled = SerializedPooling(
+                x, grid, msk, parent, parent_ok = SerializedPooling(
                     cfg.enc_channels[s], caps[s], dtype=cfg.dtype,
                     name=f"pool{s}",
-                )(x, grid, msk)
-                x, grid, msk, parent, parent_ok = pooled
+                )(x, grid, msk, perm=perms[cpe_order][0])
                 pools.append((parent, parent_ok))
             perms = _serialize_perms(grid, msk,
                                      used_orders(cfg.enc_depths[s]))

@@ -37,11 +37,16 @@ def time_device(fn: Callable, *args, iters: int = 10,
     @jax.jit
     def run(*a):
         def body(i, acc):
-            first, rest = a[0], a[1:]
-            if hasattr(first, "dtype") and jnp.issubdtype(
-                    first.dtype, jnp.inexact):
-                first = first + (acc * 0).astype(first.dtype)
-            out = fn(first, *rest)
+            # make EVERY numeric input depend on the carry (add zero) —
+            # otherwise XLA hoists any branch fed only by loop-invariant
+            # args out of the loop and that branch gets amortized away
+            def perturb(x):
+                if hasattr(x, "dtype") and jnp.issubdtype(
+                        x.dtype, jnp.number):
+                    return x + (acc * 0).astype(x.dtype)
+                return x
+
+            out = fn(*[perturb(x) for x in a])
             return acc + _live_sum(out)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
