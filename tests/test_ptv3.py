@@ -153,6 +153,27 @@ def test_three_stage_pyramid(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_remat_matches_plain_and_backprops(rng):
+    feat, grid, mask = _inputs(rng, B=1)
+    cfg_p = tiny_config(remat=False)
+    cfg_r = tiny_config(remat=True)
+    model_p = PointTransformerV3(cfg_p)
+    model_r = PointTransformerV3(cfg_r)
+    params = model_p.init(jax.random.PRNGKey(0), feat, grid, mask)
+    out_p, _ = model_p.apply(params, feat, grid, mask)
+    out_r, _ = model_r.apply(params, feat, grid, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               atol=1e-6)
+
+    def loss(p):
+        o, _ = model_r.apply(p, feat, grid, mask)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(g))
+
+
 def test_capacity_schedule():
     cfg = PTv3Config()
     caps = cfg.capacities(32768)

@@ -120,7 +120,8 @@ def build_pipeline(cfg: Config, vit_cfg=None):
     pipe = PipelineConfig(
         fusion=fusion,
         ptv3=PTv3Config(enc_window=(w,) * 5, dec_window=(w,) * 4,
-                        use_pallas=use_pallas, dtype=dtype),
+                        use_pallas=use_pallas, remat=cfg.tpu.remat,
+                        dtype=dtype),
         voxel_size=cfg.voxel_size,
         voxel_capacity=_round_up(cfg.tpu.voxel_capacity, w),
         intensity_mode=cfg.tpu.intensity_mode,

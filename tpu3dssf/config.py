@@ -48,6 +48,7 @@ class TPUParams:
     intensity_mode: str = "mean"       # "mean" | "knn5" (reference parity)
     devoxelize_mode: str = "own"       # "own" | "nearest" (reference parity)
     use_pallas: bool = True
+    remat: bool = False                # jax.checkpoint PTv3 blocks
     compute_dtype: str = "bfloat16"    # model compute dtype
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel mesh
     dataset: str = "nuscenes"          # "nuscenes" | "synthetic"
@@ -132,6 +133,7 @@ def load_config(path_or_dict) -> Config:
         intensity_mode=tp.get("intensity_mode", "mean"),
         devoxelize_mode=tp.get("devoxelize_mode", "own"),
         use_pallas=bool(tp.get("use_pallas", True)),
+        remat=bool(tp.get("remat", False)),
         compute_dtype=tp.get("compute_dtype", "bfloat16"),
         mesh_shape=mesh_shape,
         dataset=tp.get("dataset", "nuscenes"),

@@ -41,19 +41,24 @@ def mha_reference(q, k, v, bias=None):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)          # (Bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)          # (N, D)
-    v = v_ref[0, 0].astype(jnp.float32)          # (N, D)
-    scale = 1.0 / (q.shape[-1] ** 0.5)
+    # VPU-lean softmax: q is pre-scaled by 1/sqrt(D) in the wrapper, and
+    # normalization happens AFTER the PV matmul on the (Bq, D) output
+    # instead of the (Bq, N) probabilities. MXU inputs stay in their
+    # native (bf16) dtype — f32 inputs force the slow multi-pass mode —
+    # with f32 accumulation.
+    q = q_ref[0, 0]                              # (Bq, D), pre-scaled
+    k = k_ref[0, 0]                              # (N, D)
+    v = v_ref[0, 0]                              # (N, D)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (Bq, N)
+        preferred_element_type=jnp.float32)          # (Bq, N) f32
     s = s + bias_ref[0, 0][None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
-    o_ref[0, 0] = jnp.dot(
-        p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    denom = jnp.sum(e, axis=-1, keepdims=True)       # (Bq, 1)
+    o = jnp.dot(e.astype(v.dtype), v,
+                preferred_element_type=jnp.float32)  # (Bq, D)
+    o_ref[0, 0] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
 
 
 def _flash_call(q, k, v, bias, block_q):
@@ -89,6 +94,9 @@ def flash_attention(q, k, v, block_q=_DEF_BLOCK_Q):
     bias = jnp.full((B, 1, Np), 0.0, jnp.float32)
     if pad:
         bias = bias.at[:, :, N:].set(_NEG)
+    # fold the softmax scale into q (one (N, D) multiply instead of a
+    # (N, N) one inside the kernel)
+    q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
     out = _flash_call(bhnd(q), bhnd(k), bhnd(v), bias, block_q)
     out = jnp.transpose(out, (0, 2, 1, 3))[:, :N]
     return out

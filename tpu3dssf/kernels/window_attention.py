@@ -53,25 +53,27 @@ def window_attention_reference(q, k, v, key_mask):
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    scale = 1.0 / (q.shape[-1] ** 0.5)
+    # native-dtype (bf16) MXU inputs with f32 accumulation (f32 inputs
+    # force the slow multi-pass MXU mode); q pre-scaled in the wrapper;
+    # normalization after the PV matmul on the narrow (K, D) output
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
     s = s + bias_ref[0, 0][None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / jnp.maximum(denom, 1e-20)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
 
 
 def _window_attention_pallas(q, k, v, key_mask):
     W, K, H, D = q.shape
+    q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)  # fold softmax scale
     bias = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)[:, None, :]
 
     # TPU block rule: the last two block dims must divide (8, 128) or

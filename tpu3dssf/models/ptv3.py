@@ -64,6 +64,7 @@ class PTv3Config:
     drop_path: float = 0.0
     pool_ratio: int = 2  # capacity divisor per pooling stage
     use_pallas: bool = True
+    remat: bool = False  # jax.checkpoint each block (activation memory ↓)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -337,6 +338,11 @@ class PointTransformerV3(nn.Module):
         caps = cfg.capacities(feat.shape[1])
         orders = cfg.orders
         cpe_order = orders[0]
+        # remat: recompute block activations in backward — trades FLOPs
+        # for HBM, the standard TPU memory lever
+        # static_argnums count self as 0: order=3, cpe_order=4, det=6
+        Block = (nn.remat(PTv3Block, static_argnums=(3, 4, 6))
+                 if cfg.remat else PTv3Block)
 
         x = nn.Dense(cfg.enc_channels[0], dtype=cfg.dtype, name="embed")(feat)
         x = nn.LayerNorm(dtype=cfg.dtype, name="embed_norm")(x)
@@ -366,7 +372,7 @@ class PointTransformerV3(nn.Module):
                                      used_orders(cfg.enc_depths[s]))
             for b in range(cfg.enc_depths[s]):
                 order = orders[b % len(orders)]
-                x = PTv3Block(
+                x = Block(
                     cfg.enc_channels[s], cfg.enc_heads[s],
                     cfg.enc_window[s], cfg.mlp_ratio,
                     drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
@@ -386,7 +392,7 @@ class PointTransformerV3(nn.Module):
                                      used_orders(cfg.dec_depths[d]))
             for b in range(cfg.dec_depths[d]):
                 order = orders[b % len(orders)]
-                x = PTv3Block(
+                x = Block(
                     cfg.dec_channels[d], cfg.dec_heads[d],
                     cfg.dec_window[d], cfg.mlp_ratio,
                     drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
