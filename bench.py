@@ -31,7 +31,10 @@ BASELINE_POINTS_PER_SEC = 100_000.0
 POINT_CAP = 34816      # ~one nuScenes sweep, multiple of 1024
 VOXEL_CAP = 25600      # ~34k pts at 0.1 m voxels, multiple of window
 WINDOW = 1024
-BATCH = 1
+# batch=1 measured fastest per point on one chip (the graph is already
+# compute-dense: 6 ViT images + 25k voxels per frame); override to
+# profile batched streaming
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 IMAGE_HW = (640, 1138)  # dinov3 encoder input (camera.py:27)
 
 
@@ -66,14 +69,15 @@ def main():
     model = SegmentationPipeline(pipe_cfg)
 
     # ---- data (synthetic sweep at nuScenes scale) ----
-    ds = SyntheticNuScenes(num_samples=1, num_points=POINT_CAP,
+    ds = SyntheticNuScenes(num_samples=BATCH, num_points=POINT_CAP,
                            image_hw=(900, 1600))
-    s = ds[0]
-    points = jnp.asarray(s["points"][None], jnp.float32)
+    samples = [ds[i] for i in range(BATCH)]
+    points = jnp.asarray(
+        np.stack([s["points"] for s in samples]), jnp.float32)
     valid = jnp.ones((BATCH, POINT_CAP), bool)
-    images = jnp.asarray(s["images"][None])  # (1, 6, 900, 1600, 3) uint8
-    K = jnp.asarray(s["cam_intrinsics"][None])
-    Rt = jnp.asarray(s["lidar2cam"][None])
+    images = jnp.asarray(np.stack([s["images"] for s in samples]))
+    K = jnp.asarray(np.stack([s["cam_intrinsics"] for s in samples]))
+    Rt = jnp.asarray(np.stack([s["lidar2cam"] for s in samples]))
 
     rngk = jax.random.PRNGKey(0)
     # jit the inits: eager init dispatches thousands of tiny ops, each a
@@ -126,7 +130,7 @@ def main():
           file=sys.stderr)
     pts_per_sec = POINT_CAP * BATCH / dt
 
-    print(f"[bench] e2e latency {dt*1e3:.1f} ms/frame "
+    print(f"[bench] e2e {dt*1e3:.1f} ms/batch-of-{BATCH} "
           f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
 
     print(json.dumps({

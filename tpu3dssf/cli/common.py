@@ -58,7 +58,8 @@ def build_dataloaders(cfg: Config, datasets=None) -> Dict[str, object]:
         loaders[split] = HostDataPipeline(
             datasets[split], batch_size=lcfg.batch_size,
             point_capacity=cfg.tpu.point_capacity,
-            shuffle=lcfg.shuffle, drop_last=(split == "train"))
+            shuffle=lcfg.shuffle, drop_last=(split == "train"),
+            num_workers=lcfg.num_workers)
     return loaders
 
 

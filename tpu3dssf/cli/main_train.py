@@ -23,6 +23,12 @@ def main(argv=None):
                         help="Path to config YAML file")
     parser.add_argument("--tee-log", action="store_true",
                         help="tee stdout/stderr to <ckpt>/train.log")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume full train state (params+optimizer+"
+                             "epoch) from <ckpt>/last")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of a few "
+                             "train steps into this directory")
     args = parser.parse_args(argv)
 
     from tpu3dssf.config import load_config
@@ -61,7 +67,19 @@ def main(argv=None):
     steps_per_epoch = max(1, len(loaders["train"]))
     state = common.init_state(cfg, model, batch, tokens, steps_per_epoch)
 
-    if cfg.train_best_weights and cfg.best_model_path:
+    start_epoch, best_acc = 0, -1.0
+    if args.resume:
+        try:
+            state, extra, step = restore_checkpoint(
+                os.path.join(cfg.checkpoint_path, "last"), None, state)
+            start_epoch = int(extra.get("epoch", step)) + 1
+            best_acc = float(extra.get("best_acc", -1.0))
+            print(f"Resumed full train state at epoch {start_epoch} "
+                  f"(best_acc={best_acc:.4f})")
+        except FileNotFoundError:
+            print("[warn] --resume set but no last/ checkpoint; "
+                  "training from scratch")
+    elif cfg.train_best_weights and cfg.best_model_path:
         ckpt_dir = os.path.dirname(cfg.best_model_path) or \
             cfg.best_model_path
         try:
@@ -84,6 +102,9 @@ def main(argv=None):
         save_dir=cfg.checkpoint_path,
         logger=logger,
         zero_tokens_fn=None if encode_fn else zero_tokens_fn,
+        profile_dir=args.profile_dir,
+        start_epoch=start_epoch,
+        best_acc=best_acc,
     )
     logger.finish()
     plot_training_history(tr_hist, val_hist, cfg.checkpoint_path)

@@ -83,7 +83,7 @@ class HostDataPipeline:
     def __init__(self, dataset, batch_size: int, point_capacity: int,
                  shuffle: bool = False, seed: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
-                 ignore_index: int = 0):
+                 ignore_index: int = 0, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.point_capacity = point_capacity
@@ -92,6 +92,9 @@ class HostDataPipeline:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.ignore_index = ignore_index
+        # >1: samples within a batch load in a thread pool (the C++
+        # loader and numpy IO release the GIL, so threads overlap IO)
+        self.num_workers = max(0, num_workers)
         self._epoch = 0
 
     def __len__(self):
@@ -112,11 +115,16 @@ class HostDataPipeline:
             yield idx[start:start + self.batch_size]
 
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
-        packed = [
-            pack_sample(self.dataset[int(i)], self.point_capacity,
-                        self.ignore_index)
-            for i in indices
-        ]
+        def load(i):
+            return pack_sample(self.dataset[int(i)],
+                               self.point_capacity, self.ignore_index)
+
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                packed = list(pool.map(load, indices))
+        else:
+            packed = [load(i) for i in indices]
         return {
             k: np.stack([p[k] for p in packed]) for k in packed[0]
         }

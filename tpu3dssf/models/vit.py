@@ -80,6 +80,14 @@ def dinov3_small() -> ViTConfig:
                      num_register_tokens=4, use_rope=True)
 
 
+def dinov3_large() -> ViTConfig:
+    """ViT-L/16 backbone option (BASELINE config 5: batched streaming
+    inference with a DINOv3 ViT-L backbone on a chip slice)."""
+    return ViTConfig(patch_size=16, image_size=(640, 1138),
+                     hidden_size=1024, num_layers=24, num_heads=16,
+                     num_register_tokens=4, use_rope=True)
+
+
 def _rope_angles(gh, gw, head_dim):
     """Axial 2D RoPE angles over the patch grid, coords in [-1, 1]."""
     quarter = head_dim // 4

@@ -48,7 +48,13 @@ def latest_checkpoint(directory: str) -> Optional[int]:
 
 
 def restore_checkpoint(directory: str, step: Optional[int], state):
-    """Restore into the structure of ``state`` (abstract target)."""
+    """Restore into the structure of ``state`` (abstract target).
+
+    Raises FileNotFoundError when the directory has no checkpoint, or
+    when the stored tree does not structurally match ``state`` (e.g. a
+    checkpoint from a different model config) — callers treat both as
+    "nothing usable here".
+    """
     with _mngr(directory) as mngr:
         if step is None:
             step = mngr.latest_step()
@@ -56,6 +62,11 @@ def restore_checkpoint(directory: str, step: Optional[int], state):
             raise FileNotFoundError(
                 f"no checkpoint found in {directory}")
         target = {"state": state, "extra": dict(_EXTRA_DEFAULTS)}
-        restored = mngr.restore(
-            step, args=ocp.args.StandardRestore(target))
+        try:
+            restored = mngr.restore(
+                step, args=ocp.args.StandardRestore(target))
+        except ValueError as e:
+            raise FileNotFoundError(
+                f"checkpoint at {directory} step {step} does not match "
+                f"the current model structure: {e}") from e
         return restored["state"], restored.get("extra", {}), step

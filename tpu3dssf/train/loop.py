@@ -142,7 +142,9 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                 zero_tokens_fn: Optional[Callable] = None,
                 log_every: int = 10,
                 profile_dir: Optional[str] = None,
-                profile_steps: tuple = (10, 13)):
+                profile_steps: tuple = (10, 13),
+                start_epoch: int = 0,
+                best_acc: float = -1.0):
     """Epoch loop with best-val-acc Orbax checkpointing.
 
     Mirrors reference train_model's contract (utils/train.py:13):
@@ -155,10 +157,9 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
     eval_step = make_eval_step(loss_fn, num_classes)
 
     tr_hist, val_hist = [], []
-    best_acc = -1.0
     global_step = 0
 
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         print(f"Epoch {epoch}/{num_epochs - 1}\n" + "-" * 20)
 
         # ---- train phase ----
@@ -214,6 +215,13 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                 save_checkpoint(save_dir, epoch, state,
                                 extra={"best_acc": float(best_acc),
                                        "epoch": epoch})
+        if save_dir:
+            # preemption-safe: full train state every epoch under last/
+            # (the reference saves best weights only and restarts the
+            # schedule on resume, SURVEY.md §5 checkpoint notes)
+            save_checkpoint(f"{save_dir}/last", epoch, state,
+                            extra={"best_acc": float(best_acc),
+                                   "epoch": epoch})
 
     print(f"Best val Acc: {best_acc:.4f}")
     return tr_hist, val_hist
