@@ -111,6 +111,49 @@ def test_pipeline_end_to_end(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_dinov2_branch_fusion_works(rng):
+    """Reference parity divergence (b): the reference's dinov2 fusion
+    path crashes (uses resize_height/width attributes only the dinov3
+    branch sets, camera.py:33-34 vs fusion_model.py:167); this framework
+    supports the dinov2 geometry (patch 14, 224x224, 16x16 grid)."""
+    B, V, n_cam = 1, 16, 6
+    cfg = FusionConfig(patch_tok_dim=8, patch_size=14,
+                       encoder_size=(224, 224))
+    assert cfg.grid_hw == (16, 16)
+    M = 16 * 16
+    tokens = jnp.asarray(rng.normal(size=(B, n_cam, M, 8)), jnp.float32)
+    vfeat = jnp.asarray(rng.normal(size=(B, V, 64)), jnp.float32)
+    vraw = jnp.asarray(rng.normal(size=(B, V, 4)) * 10, jnp.float32)
+    vmask = jnp.ones((B, V), bool)
+    K, Rt = _calib(rng, B)
+    model = FeatureFusionModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), tokens, vfeat, vraw,
+                        vmask, K, Rt)
+    out = model.apply(params, tokens, vfeat, vraw, vmask, K, Rt)
+    assert out.shape == (B, V, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_nearest_devoxelize_mode(rng):
+    """Reference-parity devoxelization (1-NN, utils/lidar.py:147-150)
+    through the full pipeline."""
+    import dataclasses
+    cfg = dataclasses.replace(_tiny_pipeline(), devoxelize_mode="nearest",
+                              intensity_mode="knn5")
+    B, P, n_cam, M = 1, 128, 6, 2840
+    pts = jnp.asarray(
+        np.concatenate([rng.normal(size=(B, P, 3)) * 5,
+                        rng.random((B, P, 1))], -1), jnp.float32)
+    pmask = jnp.ones((B, P), bool)
+    tokens = jnp.asarray(rng.normal(size=(B, n_cam, M, 12)), jnp.float32)
+    K, Rt = _calib(rng, B)
+    model = SegmentationPipeline(cfg)
+    params = model.init(jax.random.PRNGKey(0), pts, pmask, tokens, K, Rt)
+    logits = model.apply(params, pts, pmask, tokens, K, Rt)
+    assert logits.shape == (B, P, 16)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_pipeline_trains(rng):
     B, P, n_cam, M = 1, 64, 6, 2840
     cfg = _tiny_pipeline()

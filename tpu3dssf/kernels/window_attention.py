@@ -101,6 +101,73 @@ def _window_attention_pallas(q, k, v, key_mask):
     return out * key_mask[:, :, None, None].astype(out.dtype)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref):
+    """Backward: recompute probs in VMEM, emit dq (scaled), dk, dv.
+
+    q_ref holds the PRE-SCALED q; the wrapper multiplies dq by the
+    softmax scale afterwards. do_ref is already query-side masked.
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+
+    pt = p.astype(v.dtype)
+    dv = jax.lax.dot_general(  # pᵀ do → (K, D)
+        pt, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # do vᵀ → (K, K)
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsl = ds.astype(q.dtype)
+    dq = jnp.dot(dsl, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(  # dsᵀ q → (K, D)
+        dsl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _window_attention_bwd_pallas(q, k, v, key_mask, g):
+    W, K, H, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    qs = q * jnp.asarray(scale, q.dtype)
+    bias = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+    g = g * key_mask[:, :, None, None].astype(g.dtype)
+
+    def whkd(x):
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    spec = pl.BlockSpec((1, 1, K, D), lambda w, h: (w, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((W, H, K, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        _attn_bwd_kernel,
+        out_shape=(shp, shp, shp),
+        grid=(W, H),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, 1, K), lambda w, h: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  spec],
+        out_specs=(spec, spec, spec),
+    )(whkd(qs), whkd(k), whkd(v), bias, whkd(g))
+
+    def back(x):
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return back(dq) * jnp.asarray(scale, q.dtype), back(dk), back(dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def window_attention(q, k, v, key_mask, use_pallas=True):
     """Windowed MHA; Pallas forward on TPU, jnp fallback elsewhere.
@@ -119,6 +186,9 @@ def _wa_fwd(q, k, v, key_mask, use_pallas):
 
 def _wa_bwd(use_pallas, res, g):
     q, k, v, key_mask = res
+    if use_pallas:
+        dq, dk, dv = _window_attention_bwd_pallas(q, k, v, key_mask, g)
+        return dq, dk, dv, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_: window_attention_reference(q_, k_, v_, key_mask),
         q, k, v,

