@@ -1,0 +1,92 @@
+"""Training-step throughput on the real TPU at nuScenes scale.
+
+Measures the full jit train step (forward + CE+Lovász + backward +
+AdamW) for the LiDAR-only model (PTv3) and the fusion head, device-side.
+
+    python scripts/bench_train.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tpu3dssf.losses import CELSLoss
+    from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig,
+                                        SegmentationPipeline)
+    from tpu3dssf.models.lidar_only import LidarSegmentationModel
+    from tpu3dssf.models.ptv3 import PTv3Config
+    from tpu3dssf.train import create_train_state
+    from tpu3dssf.utils.timing import time_device
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    B, P, V, W = 2, 34816, 25600, 1024
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "points": jnp.asarray(np.concatenate(
+            [rng.normal(size=(B, P, 3)) * 20, rng.random((B, P, 1))],
+            -1), jnp.float32),
+        "point_valid": jnp.ones((B, P), bool),
+        "labels": jnp.asarray(rng.integers(0, 17, (B, P)), jnp.int32),
+        "mask": jnp.ones((B, P), bool),
+        "cam_intrinsics": jnp.zeros((B, 6, 3, 3)),
+        "lidar2cam": jnp.tile(jnp.eye(4), (B, 6, 1, 1)),
+    }
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+
+    for name, tok_dim, remat in [("lidar-only", 1, False),
+                                 ("lidar-only+remat", 1, True),
+                                 ("fusion", 384, False)]:
+        cfg = PipelineConfig(
+            fusion=FusionConfig(patch_tok_dim=max(tok_dim, 8),
+                                dtype=dtype),
+            ptv3=PTv3Config(enc_window=(W,) * 5, dec_window=(W,) * 4,
+                            use_pallas=on_tpu, remat=remat, dtype=dtype),
+            voxel_size=0.1, voxel_capacity=V)
+        if name.startswith("lidar-only"):
+            model = LidarSegmentationModel(cfg)
+            tokens = jnp.zeros((B, 1, 1, 1), jnp.float32)
+        else:
+            model = SegmentationPipeline(cfg)
+            tokens = jnp.asarray(
+                rng.normal(size=(B, 6, 2840, 384)) * 0.02, dtype)
+
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), batch["points"], batch["point_valid"],
+            tokens, batch["cam_intrinsics"], batch["lidar2cam"])
+        state = create_train_state(model, params, optax.adamw(1e-3))
+
+        def step(points, toks, state=state):
+            def loss(p):
+                logits = state.apply_fn(
+                    p, points, batch["point_valid"], toks,
+                    batch["cam_intrinsics"], batch["lidar2cam"])
+                return loss_fn(logits, batch["labels"],
+                               batch["mask"]).total
+
+            l, grads = jax.value_and_grad(loss)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            return l + jax.tree.leaves(new_state.params)[0].mean()
+
+        t0 = time.perf_counter()
+        dt = time_device(step, batch["points"], tokens, iters=10)
+        print(f"{name:20s} train step (B={B}, {P} pts): {dt*1e3:7.1f} ms "
+              f"({B*P/dt:,.0f} points/s)  "
+              f"[compile {time.perf_counter()-t0:.0f}s]")
+
+
+if __name__ == "__main__":
+    print("backend:", end=" ")
+    import jax
+    print(jax.default_backend())
+    main()

@@ -148,3 +148,44 @@ def test_data_parallel_step_on_virtual_mesh(rng):
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_main_infer_mesh_sharded(tmp_path):
+    """The streaming-inference CLI over the 8-device virtual mesh."""
+    import yaml
+    ckpt = str(tmp_path / "ck")
+    cfg = {
+        "debug": True,
+        "dataset_params": {
+            "label_mapping": "./configs/label_mapping/nuscenes.yaml",
+            "class_weights": [1.0] * 16,
+            "train_data_loader": {"data_path": "", "batch_size": 8,
+                                  "shuffle": False, "num_workers": 0},
+            "val_data_loader": {"data_path": "", "batch_size": 8,
+                                "shuffle": False, "num_workers": 0},
+            "test_data_loader": {"data_path": "", "batch_size": 8,
+                                 "shuffle": False, "num_workers": 0},
+            "lidar": {"voxel_size": 0.8},
+        },
+        "train_params": {
+            "checkpoint_path": ckpt, "best_model_path": ckpt,
+            "image_encoder": "none", "mlp_class": 16,
+            "max_num_epochs": 1, "learning_rate": 1e-3,
+            "optimizer": "AdamW", "lr_scheduler": "none",
+            "momentum": 0.9, "nesterov": False, "weight_decay": 0.0,
+            "lambda_lovasz": 1,
+        },
+        "test_params": {"checkpoint_path": ckpt},
+        "tpu_params": {
+            "point_capacity": 512, "voxel_capacity": 256,
+            "window_size": 64, "use_pallas": False,
+            "compute_dtype": "float32", "mesh_shape": [8],
+            "dataset": "synthetic",
+        },
+    }
+    path = str(tmp_path / "mesh.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from tpu3dssf.cli.main_infer import main as infer_main
+    metrics = infer_main(["--config", path, "--split", "val"])
+    assert 0.0 <= float(metrics["overall_acc"]) <= 1.0

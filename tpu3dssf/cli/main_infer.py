@@ -73,7 +73,29 @@ def main(argv=None):
     total_loss = correct = valid = it = 0
     total_points = 0
     t0 = time.perf_counter()
+    def pad_to(batch, target):
+        """Pad a partial batch to the mesh-divisible size with masked
+        duplicate rows (they contribute nothing to loss or metrics)."""
+        b = batch["points"].shape[0]
+        if b == target:
+            return batch
+        padn = target - b
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            pad = np.repeat(v[-1:], padn, axis=0)
+            if k in ("mask", "point_valid"):
+                pad = np.zeros_like(pad)
+            out[k] = np.concatenate([v, pad], axis=0)
+        return out
+
+    batch_target = loaders[args.split].batch_size
+    if mesh is not None:
+        batch_target = -(-batch_target // mesh_size) * mesh_size
+
     for batch in loaders[args.split]:
+        if mesh is not None:
+            batch = pad_to(batch, batch_target)
         images = batch.pop("images", None)
         if encode_fn is not None and images is not None:
             tokens = encode_fn(images)
