@@ -55,6 +55,31 @@ def _make_state(model, batch, opt=None):
     return create_train_state(model, params, opt)
 
 
+def test_skip_nonfinite_protects_params():
+    tx = create_optimizer("AdamW", 1e-2, skip_nonfinite=True)
+    params = {"w": jnp.ones(4)}
+    st = tx.init(params)
+    bad = {"w": jnp.full(4, jnp.nan)}
+    upd, st = tx.update(bad, st, params)
+    new = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(new["w"]),
+                                  np.asarray(params["w"]))
+    good = {"w": jnp.ones(4)}
+    upd, st = tx.update(good, st, params)
+    new = optax.apply_updates(params, upd)
+    assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
+
+
+def test_grad_clip_bounds_update_norm():
+    tx = create_optimizer("SGD", 1.0, momentum=0.0, grad_clip=0.5)
+    params = {"w": jnp.zeros(4)}
+    st = tx.init(params)
+    big = {"w": jnp.full(4, 100.0)}
+    upd, _ = tx.update(big, st, params)
+    norm = float(jnp.linalg.norm(upd["w"]))
+    assert norm <= 0.5 + 1e-5
+
+
 def test_optimizer_factory_variants():
     for name in ("AdamW", "Adam", "SGD"):
         tx = create_optimizer(name, 1e-3, weight_decay=1e-2,

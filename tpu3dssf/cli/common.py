@@ -153,7 +153,8 @@ def init_state(cfg: Config, model, batch, tokens, steps_per_epoch=1):
         cfg.optimizer, cfg.learning_rate, weight_decay=cfg.weight_decay,
         momentum=cfg.momentum, nesterov=cfg.nesterov,
         lr_scheduler=cfg.lr_scheduler, steps_per_epoch=steps_per_epoch,
-        num_epochs=cfg.max_num_epochs)
+        num_epochs=cfg.max_num_epochs, grad_clip=cfg.grad_clip,
+        skip_nonfinite=cfg.skip_nonfinite)
     return create_train_state(model, params, opt)
 
 

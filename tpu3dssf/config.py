@@ -79,6 +79,8 @@ class Config:
     nesterov: bool
     weight_decay: float
     lambda_lovasz: float
+    grad_clip: Optional[float]
+    skip_nonfinite: bool
     # test_params
     test_checkpoint_path: str
     # tpu_params
@@ -171,6 +173,9 @@ def load_config(path_or_dict) -> Config:
         nesterov=bool(tr.get("nesterov", False)),
         weight_decay=float(tr.get("weight_decay", 0.0)),
         lambda_lovasz=float(tr.get("lambda_lovasz", 1.0)),
+        grad_clip=(float(tr["grad_clip"]) if tr.get("grad_clip")
+                   else None),
+        skip_nonfinite=bool(tr.get("skip_nonfinite", False)),
         test_checkpoint_path=te.get("checkpoint_path",
                                     tr.get("checkpoint_path", "")),
         tpu=tpu,

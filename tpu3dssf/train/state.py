@@ -50,7 +50,8 @@ def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
                      momentum: float = 0.9, nesterov: bool = False,
                      lr_scheduler: str = "none",
                      steps_per_epoch: int = 1, num_epochs: int = 1,
-                     grad_clip: Optional[float] = None):
+                     grad_clip: Optional[float] = None,
+                     skip_nonfinite: bool = False):
     schedule = create_schedule(lr_scheduler, learning_rate,
                                steps_per_epoch, num_epochs)
     if name == "AdamW":
@@ -74,7 +75,13 @@ def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
     if lr_scheduler == "ReduceLROnPlateau":
         parts.append(optax.contrib.reduce_on_plateau(
             factor=0.1, patience=10))
-    return optax.chain(*parts) if len(parts) > 1 else parts[0]
+    out = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    if skip_nonfinite:
+        # failure containment: silently skip updates whose grads contain
+        # NaN/Inf (up to 100 consecutive) instead of corrupting params —
+        # the reference has no fault handling at all (SURVEY.md §5)
+        out = optax.apply_if_finite(out, max_consecutive_errors=100)
+    return out
 
 
 def create_train_state(model, params, optimizer) -> TrainState:
