@@ -8,11 +8,11 @@ copies.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from tpu3dssf.config import Config, load_config, load_label_mapping
+from tpu3dssf.config import Config, load_label_mapping
 
 
 def _round_up(x: int, m: int) -> int:

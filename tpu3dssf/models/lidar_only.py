@@ -9,7 +9,6 @@ The reference has no separate entry point for this, but
 
 from __future__ import annotations
 
-import dataclasses
 
 import flax.linen as nn
 import jax

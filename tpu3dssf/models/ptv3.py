@@ -28,7 +28,7 @@ capacity halving per pooling stage (upstream is fully dynamic).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

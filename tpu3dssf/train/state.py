@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import optax
 from flax.training import train_state
 
