@@ -81,35 +81,48 @@ def _flash_call(q, k, v, bias, block_q):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention(q, k, v, block_q=_DEF_BLOCK_Q):
-    """Full MHA, q/k/v (B, N, H, D) → (B, N, H, D). Pads N internally."""
+def flash_attention(q, k, v, block_q=_DEF_BLOCK_Q, key_bias=None):
+    """Full MHA, q/k/v (B, N, H, D) → (B, N, H, D).
+
+    Pads N internally unless the caller already works at a block-multiple
+    N and supplies its own additive ``key_bias`` (B, 1, N) — the ViT
+    pads its token sequence once and reuses the bias across all layers.
+    """
     B, N, H, D = q.shape
     Np = ((N + block_q - 1) // block_q) * block_q
     pad = Np - N
 
     def bhnd(x):
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
         return jnp.transpose(x, (0, 2, 1, 3))
 
-    bias = jnp.full((B, 1, Np), 0.0, jnp.float32)
-    if pad:
-        bias = bias.at[:, :, N:].set(_NEG)
+    if key_bias is None:
+        bias = jnp.full((B, 1, Np), 0.0, jnp.float32)
+        if pad:
+            bias = bias.at[:, :, N:].set(_NEG)
+    else:
+        bias = jnp.pad(key_bias.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, pad)),
+                       constant_values=_NEG)
     # fold the softmax scale into q (one (N, D) multiply instead of a
     # (N, N) one inside the kernel)
     q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
     out = _flash_call(bhnd(q), bhnd(k), bhnd(v), bias, block_q)
-    out = jnp.transpose(out, (0, 2, 1, 3))[:, :N]
-    return out
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    return out[:, :N] if pad else out
 
 
-def _fa_fwd(q, k, v, block_q):
-    return flash_attention(q, k, v, block_q), (q, k, v)
+def _fa_fwd(q, k, v, block_q, key_bias=None):
+    return flash_attention(q, k, v, block_q, key_bias), (q, k, v, key_bias)
 
 
 def _fa_bwd(block_q, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: mha_reference(q_, k_, v_), q, k, v)
-    return vjp(g)
+    q, k, v, key_bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, key_bias), q, k, v)
+    db = None if key_bias is None else jnp.zeros_like(key_bias)
+    return vjp(g) + (db,)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -133,7 +133,7 @@ class ViTBlock(nn.Module):
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, x, rope_angles=None):
+    def __call__(self, x, rope_angles=None, key_bias=None):
         cfg = self.config
         C = cfg.hidden_size
         H = cfg.num_heads
@@ -149,7 +149,8 @@ class ViTBlock(nn.Module):
             k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
         if cfg.use_flash:
             from tpu3dssf.kernels import flash_attention
-            out = flash_attention(q, k, v).reshape(B, N, C)
+            out = flash_attention(q, k, v, 256, key_bias)
+            out = out.reshape(B, N, C)
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (D ** 0.5)
             attn = jax.nn.softmax(attn, axis=-1)
@@ -209,8 +210,24 @@ class VisionTransformer(nn.Module):
             _rope_angles(gh, gw, C // cfg.num_heads)
             if cfg.use_rope else None)
 
+        # flash path: pad the sequence to a q-block multiple ONCE and
+        # carry a key bias, instead of pad/unpad inside every layer
+        key_bias = None
+        N = x.shape[1]
+        if cfg.use_flash:
+            Np = ((N + 255) // 256) * 256
+            if Np != N:
+                x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+                key_bias = jnp.zeros((B, 1, Np), jnp.float32).at[
+                    :, :, N:].set(-1e9)
+                if rope_angles is not None:
+                    # identity rotation (angle 0) for padded slots
+                    rope_angles = jnp.pad(
+                        rope_angles, ((0, Np - N), (0, 0)))
+
         for i in range(cfg.num_layers):
-            x = ViTBlock(cfg, name=f"block{i}")(x, rope_angles)
+            x = ViTBlock(cfg, name=f"block{i}")(x, rope_angles, key_bias)
+        x = x[:, :N]
         x = nn.LayerNorm(dtype=cfg.dtype, name="norm")(x)
 
         n_pre = cfg.num_prefix_tokens
