@@ -67,16 +67,17 @@ def lovasz_softmax(probs, labels0, valid):
     def one_class(c):
         fg = jnp.where(valid, (labels0 == c).astype(jnp.float32), 0.0)
         errors = jnp.where(valid, jnp.abs(fg - probs[:, c]), 0.0)
-        # descending sort; invalid (error 0) naturally last among ties,
-        # and their fg is 0 so suffix cumsums are unaffected for the
-        # prefix of valid entries.
-        order = jnp.argsort(-errors)
-        errors_s = errors[order]
-        fg_s = fg[order]
+        # ONE descending value-sort carrying (fg, valid) along — an
+        # argsort + element-gathers formulation is ~10x slower on TPU.
+        # Invalid entries (error 0) sort last among ties and their fg is
+        # 0, so the prefix cumsums over valid entries are unaffected;
+        # lax.sort is differentiable (gradient flows to errors).
+        neg_e, fg_s, valid_s = jax.lax.sort(
+            (-errors, fg, validf), num_keys=1)
+        errors_s = -neg_e
         gts = jnp.sum(fg_s)
         inter = gts - jnp.cumsum(fg_s)
-        union = gts + jnp.cumsum(1.0 - fg_s) - jnp.cumsum(
-            jnp.logical_not(valid)[order].astype(jnp.float32))
+        union = gts + jnp.cumsum(1.0 - fg_s) - jnp.cumsum(1.0 - valid_s)
         jaccard = 1.0 - inter / jnp.maximum(union, 1e-12)
         # lovasz gradient: first element as-is, then differences
         grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
