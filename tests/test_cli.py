@@ -81,6 +81,30 @@ def test_train_test_sample_infer_cli(micro_config):
     assert 0.0 <= float(m["overall_acc"]) <= 1.0
 
 
+def test_sweep_launcher(micro_config, tmp_path):
+    """scripts/sweep.py — the SLURM job-array equivalent — runs one
+    params line by index."""
+    path, ckpt = micro_config
+    params_file = str(tmp_path / "sweep.txt")
+    with open(params_file, "w") as f:
+        f.write("# comment line ignored\n")
+        f.write(f"--config {path}\n")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "sweep", os.path.join(os.path.dirname(__file__), "..",
+                              "scripts", "sweep.py"))
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+    import sys
+    argv = sys.argv
+    sys.argv = ["sweep.py", "--params", params_file, "--index", "0"]
+    try:
+        sweep.main()
+    finally:
+        sys.argv = argv
+    assert os.path.exists(os.path.join(ckpt, "training_history.png"))
+
+
 def test_viz_functions(tmp_path, rng):
     from tpu3dssf.utils.viz import (plot_comparison_cloud,
                                     plot_iou_per_class,

@@ -99,3 +99,21 @@ def test_reference_config_file_loads_unchanged():
     assert cfg.learning_rate == 0.0005
     assert cfg.voxel_size == 0.1
     assert len(cfg.class_weights) == 16
+
+
+def test_all_reference_sweep_configs_load():
+    # every config in the upstream sweep grid must load (the reference
+    # ships 23 variants, config/nuscenesTestConfig{0..22}.yaml)
+    import glob
+    import os
+    refs = sorted(glob.glob(
+        "/root/reference/config/nuscenesTestConfig*.yaml"))
+    if not refs:
+        pytest.skip("reference mount unavailable")
+    assert len(refs) >= 20
+    for path in refs:
+        cfg = load_config(path)
+        assert cfg.optimizer in ("SGD", "Adam", "AdamW"), path
+        assert cfg.mlp_class == 16, path
+        assert 0 < cfg.voxel_size <= 1.0, path
+        assert cfg.image_encoder in ("dinov2", "dinov3"), path

@@ -96,6 +96,39 @@ def test_lovasz_perfect_prediction_is_zero(rng):
     assert abs(got) < 1e-6
 
 
+def test_lovasz_gradient_matches_argsort_formulation(rng):
+    # the production implementation sorts values through lax.sort; its
+    # gradient must equal the straightforward argsort+gather formulation
+    N, C = 80, 5
+    probs0 = _softmax(rng.normal(size=(N, C))).astype(np.float32)
+    labels = jnp.asarray(rng.integers(0, C, size=N))
+    valid = jnp.asarray(rng.random(N) > 0.3)
+
+    def argsort_impl(probs):
+        def one(c):
+            fg = jnp.where(valid, (labels == c).astype(jnp.float32), 0.0)
+            errors = jnp.where(valid, jnp.abs(fg - probs[:, c]), 0.0)
+            order = jnp.argsort(-errors)
+            e, f = errors[order], fg[order]
+            inval = jnp.logical_not(valid)[order].astype(jnp.float32)
+            gts = jnp.sum(f)
+            inter = gts - jnp.cumsum(f)
+            union = gts + jnp.cumsum(1.0 - f) - jnp.cumsum(inval)
+            jac = 1.0 - inter / jnp.maximum(union, 1e-12)
+            grad = jnp.concatenate([jac[:1], jac[1:] - jac[:-1]])
+            return jnp.sum(e * grad), gts > 0
+
+        l, p = jax.vmap(one)(jnp.arange(C))
+        pf = p.astype(jnp.float32)
+        return jnp.sum(l * pf) / jnp.maximum(jnp.sum(pf), 1.0)
+
+    g_fast = jax.grad(lambda p: lovasz_softmax(p, labels, valid))(
+        jnp.asarray(probs0))
+    g_ref = jax.grad(argsort_impl)(jnp.asarray(probs0))
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-5)
+
+
 def test_celsloss_end_to_end(rng):
     B, P, C = 2, 100, 16
     scores = rng.normal(size=(B, P, C)).astype(np.float32)
