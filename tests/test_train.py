@@ -109,6 +109,28 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0]
 
 
+def test_train_step_with_drop_path(rng):
+    import dataclasses
+    base = _tiny_model()
+    cfg = dataclasses.replace(
+        base.config, ptv3=dataclasses.replace(base.config.ptv3,
+                                              drop_path=0.3))
+    model = LidarSegmentationModel(cfg)
+    batch = _batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["points"],
+                        batch["point_valid"], _tokens(2),
+                        batch["cam_intrinsics"], batch["lidar2cam"])
+    state = create_train_state(model, params, optax.adamw(1e-3))
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    step = make_train_step(loss_fn, dropout_rng=jax.random.PRNGKey(7))
+    s1, m1 = step(state, batch, _tokens(2))
+    s2, m2 = step(s1, batch, _tokens(2))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(
+        float(m2["loss"]))
+    # stochastic depth: same data, different step → different loss
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
 def test_eval_step_confusion(rng):
     model = _tiny_model()
     batch = _batch(rng)

@@ -122,7 +122,7 @@ def build_pipeline(cfg: Config, vit_cfg=None):
         fusion=fusion,
         ptv3=PTv3Config(enc_window=(w,) * 5, dec_window=(w,) * 4,
                         use_pallas=use_pallas, remat=cfg.tpu.remat,
-                        dtype=dtype),
+                        drop_path=cfg.drop_path, dtype=dtype),
         voxel_size=cfg.voxel_size,
         voxel_capacity=_round_up(cfg.tpu.voxel_capacity, w),
         intensity_mode=cfg.tpu.intensity_mode,

@@ -95,6 +95,7 @@ def main(argv=None):
     def zero_tokens_fn(b):
         return common.zero_tokens(cfg, vit_cfg, b["points"].shape[0])
 
+    dropout_rng = (jax.random.PRNGKey(42) if cfg.drop_path > 0 else None)
     tr_hist, val_hist = train_model(
         state, loaders, loss_fn, encode_fn,
         num_classes=cfg.mlp_class,
@@ -105,6 +106,7 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         start_epoch=start_epoch,
         best_acc=best_acc,
+        dropout_rng=dropout_rng,
     )
     logger.finish()
     plot_training_history(tr_hist, val_hist, cfg.checkpoint_path)

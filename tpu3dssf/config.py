@@ -81,6 +81,7 @@ class Config:
     lambda_lovasz: float
     grad_clip: Optional[float]
     skip_nonfinite: bool
+    drop_path: float
     # test_params
     test_checkpoint_path: str
     # tpu_params
@@ -176,6 +177,9 @@ def load_config(path_or_dict) -> Config:
         grad_clip=(float(tr["grad_clip"]) if tr.get("grad_clip")
                    else None),
         skip_nonfinite=bool(tr.get("skip_nonfinite", False)),
+        # PTv3 stochastic depth (upstream trains with ~0.3; a submodule
+        # default the reference configs never surface)
+        drop_path=float(tr.get("drop_path", 0.0)),
         test_checkpoint_path=te.get("checkpoint_path",
                                     tr.get("checkpoint_path", "")),
         tpu=tpu,

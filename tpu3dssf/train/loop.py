@@ -54,13 +54,23 @@ def make_image_encode_fn(vit_model, vit_params, encoder_hw,
     return encode
 
 
-def make_train_step(loss_fn: CELSLoss):
+def make_train_step(loss_fn: CELSLoss, dropout_rng=None):
+    """``dropout_rng``: base PRNGKey enabling stochastic-depth/drop-path
+    (folded with the step counter per batch); None → deterministic."""
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, patch_tokens):
         def compute_loss(params):
+            kwargs = {}
+            if dropout_rng is not None:
+                kwargs = dict(
+                    deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(
+                        dropout_rng, state.step)})
             logits = state.apply_fn(
                 params, batch["points"], batch["point_valid"],
-                patch_tokens, batch["cam_intrinsics"], batch["lidar2cam"])
+                patch_tokens, batch["cam_intrinsics"], batch["lidar2cam"],
+                **kwargs)
             out = loss_fn(logits, batch["labels"], batch["mask"])
             return out.total, out
 
@@ -144,7 +154,8 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                 profile_dir: Optional[str] = None,
                 profile_steps: tuple = (10, 13),
                 start_epoch: int = 0,
-                best_acc: float = -1.0):
+                best_acc: float = -1.0,
+                dropout_rng=None):
     """Epoch loop with best-val-acc Orbax checkpointing.
 
     Mirrors reference train_model's contract (utils/train.py:13):
@@ -153,7 +164,7 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
     under ``save_dir``.
     """
     logger = logger or NullLogger()
-    train_step = make_train_step(loss_fn)
+    train_step = make_train_step(loss_fn, dropout_rng)
     eval_step = make_eval_step(loss_fn, num_classes)
 
     tr_hist, val_hist = [], []
