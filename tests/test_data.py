@@ -241,6 +241,22 @@ def test_nuscenes_reader_native_pack(tmp_path):
     np.testing.assert_array_equal(s["labels"][:50], s2["labels"])
 
 
+def test_scene_validity_filter(tmp_path):
+    """Scenes whose lidar file is missing on disk are dropped at indexing
+    time (reference get_available_scenes, utils/dataloader.py:83-92)."""
+    root = _make_fake_nuscenes(str(tmp_path))
+    os.remove(os.path.join(root, "samples/LIDAR_TOP/lid_0_0.bin"))
+    train = NuScenesDataset(root, "v1.0-mini", "train", load_images=False)
+    assert len(train) == 0  # scene-0061's first lidar file is gone
+    # opt-out restores table-only indexing
+    train2 = NuScenesDataset(root, "v1.0-mini", "train",
+                             load_images=False, check_files=False)
+    assert len(train2) == 2
+    # val scene untouched
+    val = NuScenesDataset(root, "v1.0-mini", "val", load_images=False)
+    assert len(val) == 2
+
+
 def test_num_vote_duplicates(tmp_path):
     root = _make_fake_nuscenes(str(tmp_path))
     ds = NuScenesDataset(root, "v1.0-mini", "train", num_vote=3,

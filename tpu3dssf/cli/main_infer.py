@@ -96,6 +96,10 @@ def main(argv=None):
     for batch in loaders[args.split]:
         if mesh is not None:
             batch = pad_to(batch, batch_target)
+        # real (unpadded) points only — capacity slots would overstate
+        # throughput on ragged data (pad_to zeroes point_valid, so
+        # duplicate rows do not count either)
+        total_points += int(np.asarray(batch["point_valid"]).sum())
         images = batch.pop("images", None)
         if encode_fn is not None and images is not None:
             tokens = encode_fn(images)
@@ -115,8 +119,6 @@ def main(argv=None):
         total_loss += float(m["loss"])
         correct += int(m["correct"])
         valid += int(m["valid"])
-        total_points += int(np.asarray(batch["points"]).shape[0]
-                            * np.asarray(batch["points"]).shape[1])
         it += 1
     jax.block_until_ready(cm)
     dt = time.perf_counter() - t0
@@ -125,7 +127,7 @@ def main(argv=None):
                                       max(it, 1))
     print(format_metrics(metrics))
     n_dev = mesh_size if mesh is not None else 1
-    print(f"streamed {it} batches, {total_points:,} point slots in "
+    print(f"streamed {it} batches, {total_points:,} valid points in "
           f"{dt:.1f}s  ->  {total_points/dt:,.0f} points/s "
           f"({total_points/dt/n_dev:,.0f} per chip)")
     return metrics

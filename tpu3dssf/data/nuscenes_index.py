@@ -101,6 +101,9 @@ class NuScenesDataset:
       num_vote: duplicate each sample N times (reference
         dataloader.py:94-103 test-time voting hook).
       load_images: set False for LiDAR-only workloads.
+      check_files: verify each scene's first lidar file exists and drop
+        scenes that fail (reference get_available_scenes,
+        utils/dataloader.py:83-92).
     """
 
     def __init__(self, dataroot: str, version: str, split: str,
@@ -108,7 +111,8 @@ class NuScenesDataset:
                  scene_names: Optional[Sequence[str]] = None,
                  num_vote: int = 1, load_images: bool = True,
                  train_fraction: float = 0.85,
-                 point_capacity: Optional[int] = None):
+                 point_capacity: Optional[int] = None,
+                 check_files: bool = True):
         self.dataroot = dataroot
         self.version = version
         self.split = split
@@ -143,6 +147,30 @@ class NuScenesDataset:
             wanted = set(names[:n_train] if split == "train"
                          else names[n_train:])
         scene_tokens = {s["token"] for s in scenes if s["name"] in wanted}
+        # scene-validity filter (reference get_available_scenes,
+        # utils/dataloader.py:83-92): drop scenes whose first lidar file
+        # is not actually on disk, so an incomplete dataset download
+        # fails at indexing time with a warning, not inside __getitem__
+        if check_files:
+            dropped = []
+            for s in scenes:
+                if s["token"] not in scene_tokens:
+                    continue
+                try:
+                    first = self.tables.get("sample",
+                                            s["first_sample_token"])
+                    lt = first["data"]["LIDAR_TOP"]
+                    sd = self.tables.get("sample_data", lt)
+                    ok = os.path.exists(
+                        os.path.join(dataroot, sd["filename"]))
+                except KeyError:
+                    ok = False
+                if not ok:
+                    scene_tokens.discard(s["token"])
+                    dropped.append(s["name"])
+            if dropped:
+                print(f"[nuscenes_index] skipping {len(dropped)} scenes "
+                      f"with missing lidar files: {sorted(dropped)}")
 
         # token list: one entry per keyframe sample in the chosen scenes
         self.token_list: List[dict] = []

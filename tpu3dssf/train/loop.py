@@ -142,6 +142,9 @@ def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
         evaluate_from_confusion(cm, total_loss, correct, valid, max(it, 1)))
     if verbose:
         print(format_metrics(metrics))
+    if logger is not None and not isinstance(logger, NullLogger):
+        logger.log({f"eval/{k}": v for k, v in metrics.items()
+                    if np.ndim(v) == 0})
     return metrics
 
 
