@@ -52,6 +52,10 @@ class ViTConfig:
     use_rope: bool = False
     use_flash: bool = False  # Pallas flash attention (TPU only)
     dtype: jnp.dtype = jnp.float32
+    # HF-parity knobs: DINOv3 uses LN eps 1e-5 (DINOv3ViTConfig
+    # layer_norm_eps) and RoPE base theta 100; dinov2 uses eps 1e-6
+    ln_eps: float = 1e-6
+    rope_theta: float = 100.0
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -77,7 +81,7 @@ def dinov2_small() -> ViTConfig:
 def dinov3_small() -> ViTConfig:
     """Reference dinov3 branch geometry (camera.py:21-34)."""
     return ViTConfig(patch_size=16, image_size=(640, 1138),
-                     num_register_tokens=4, use_rope=True)
+                     num_register_tokens=4, use_rope=True, ln_eps=1e-5)
 
 
 def dinov3_large() -> ViTConfig:
@@ -85,17 +89,23 @@ def dinov3_large() -> ViTConfig:
     inference with a DINOv3 ViT-L backbone on a chip slice)."""
     return ViTConfig(patch_size=16, image_size=(640, 1138),
                      hidden_size=1024, num_layers=24, num_heads=16,
-                     num_register_tokens=4, use_rope=True)
+                     num_register_tokens=4, use_rope=True, ln_eps=1e-5)
 
 
-def _rope_angles(gh, gw, head_dim):
-    """Axial 2D RoPE angles over the patch grid, coords in [-1, 1]."""
+def _rope_angles(gh, gw, head_dim, theta=100.0):
+    """Axial 2D RoPE angles over the patch grid — exact HF DINOv3
+    semantics (modeling_dinov3_vit.get_patches_center_coordinates +
+    DINOv3ViTRopePositionEmbedding): patch-*center* coords mapped to
+    (-1, 1), inv_freq = theta^(-4i/head_dim), angles = 2*pi*coord*freq,
+    laid out [y-freqs | x-freqs] per patch (the HF tile(2) is realized
+    by _apply_rope's half-rotation convention)."""
     quarter = head_dim // 4
-    freqs = 100.0 ** (-jnp.arange(quarter, dtype=jnp.float32) / quarter)
-    ys = jnp.linspace(-1.0, 1.0, gh)
-    xs = jnp.linspace(-1.0, 1.0, gw)
-    ang_y = ys[:, None] * freqs[None, :]                     # (gh, q)
-    ang_x = xs[:, None] * freqs[None, :]                     # (gw, q)
+    freqs = theta ** (-jnp.arange(quarter, dtype=jnp.float32)
+                      * 4.0 / head_dim)
+    ys = ((jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh) * 2.0 - 1.0
+    xs = ((jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw) * 2.0 - 1.0
+    ang_y = 2.0 * jnp.pi * ys[:, None] * freqs[None, :]      # (gh, q)
+    ang_x = 2.0 * jnp.pi * xs[:, None] * freqs[None, :]      # (gw, q)
     ang_y = jnp.broadcast_to(ang_y[:, None, :], (gh, gw, quarter))
     ang_x = jnp.broadcast_to(ang_x[None, :, :], (gh, gw, quarter))
     ang = jnp.concatenate([ang_y, ang_x], axis=-1)           # (gh, gw, 2q)
@@ -140,7 +150,8 @@ class ViTBlock(nn.Module):
         D = C // H
         B, N, _ = x.shape
 
-        h = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
+                         name="norm1")(x)
         qkv = nn.Dense(3 * C, dtype=cfg.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -160,10 +171,12 @@ class ViTBlock(nn.Module):
             out = LayerScale(C, cfg.layerscale_init, name="ls1")(out)
         x = x + out
 
-        h = nn.LayerNorm(dtype=cfg.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
+                         name="norm2")(x)
         h = nn.Dense(int(C * cfg.mlp_ratio), dtype=cfg.dtype,
                      name="mlp_in")(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU — HF ACT2FN["gelu"]; flax default is tanh-approx
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=cfg.dtype, name="mlp_out")(h)
         if cfg.layerscale_init is not None:
             h = LayerScale(C, cfg.layerscale_init, name="ls2")(h)
@@ -207,7 +220,7 @@ class VisionTransformer(nn.Module):
             x = x + pos.astype(cfg.dtype)
 
         rope_angles = (
-            _rope_angles(gh, gw, C // cfg.num_heads)
+            _rope_angles(gh, gw, C // cfg.num_heads, cfg.rope_theta)
             if cfg.use_rope else None)
 
         # flash path: pad the sequence to a q-block multiple ONCE and
@@ -228,7 +241,8 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.num_layers):
             x = ViTBlock(cfg, name=f"block{i}")(x, rope_angles, key_bias)
         x = x[:, :N]
-        x = nn.LayerNorm(dtype=cfg.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
+                         name="norm")(x)
 
         n_pre = cfg.num_prefix_tokens
         if self.register_slice_compat:

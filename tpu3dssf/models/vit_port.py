@@ -68,21 +68,35 @@ def _load_state_dict(path: str):
 
 
 def port_hf_state_dict(sd, vit_cfg):
-    """Map an HF Dinov2/DINOv3 state dict into our flax param tree."""
+    """Map an HF Dinov2 or DINOv3 state dict into our flax param tree.
+
+    Handles both naming conventions (verified against the installed
+    transformers 4.57 modeling code, see tests/test_vit_port.py):
+
+      Dinov2Model: ``embeddings.patch_embeddings.projection.*``,
+        ``encoder.layer.N.attention.attention.{query,key,value}``,
+        ``...attention.output.dense``, ``...mlp.fc{1,2}``, ``layernorm``.
+      DINOv3ViTModel: ``embeddings.patch_embeddings.*`` (bare conv),
+        ``layer.N.attention.{q,k,v,o}_proj`` (k_proj has NO bias —
+        DINOv3ViTConfig key_bias=False), ``...mlp.{up,down}_proj``,
+        ``norm``.
+    """
     C = vit_cfg.hidden_size
 
-    def get(*names):
+    def get(*names, default=None):
         for n in names:
             if n in sd:
                 return np.asarray(sd[n])
+        if default is not None:
+            return default
         raise KeyError(f"none of {names} in state dict "
-                       f"(have e.g. {list(sd)[:5]})")
+                       f"(have e.g. {sorted(sd)[:5]})")
 
     params = {}
     w = get("embeddings.patch_embeddings.projection.weight",
             "embeddings.patch_embeddings.weight")
     params["patch_embed"] = {
-        "kernel": np.transpose(w, (2, 3, 1, 0)),
+        "kernel": np.transpose(w, (2, 3, 1, 0)),  # OIHW -> HWIO
         "bias": get("embeddings.patch_embeddings.projection.bias",
                     "embeddings.patch_embeddings.bias"),
     }
@@ -96,41 +110,50 @@ def port_hf_state_dict(sd, vit_cfg):
         params["pos_embed"] = pos.reshape(1, -1, C)
 
     for i in range(vit_cfg.num_layers):
-        pre = f"encoder.layer.{i}."
-        q_w = get(pre + "attention.attention.query.weight",
-                  pre + "attention.q_proj.weight")
-        k_w = get(pre + "attention.attention.key.weight",
-                  pre + "attention.k_proj.weight")
-        v_w = get(pre + "attention.attention.value.weight",
-                  pre + "attention.v_proj.weight")
-        q_b = get(pre + "attention.attention.query.bias",
-                  pre + "attention.q_proj.bias")
-        k_b = get(pre + "attention.attention.key.bias",
-                  pre + "attention.k_proj.bias")
-        v_b = get(pre + "attention.attention.value.bias",
-                  pre + "attention.v_proj.bias")
+        pres = (f"encoder.layer.{i}.", f"layer.{i}.")
+
+        def lget(*suffixes, default=None):
+            names = [p + s for s in suffixes for p in pres]
+            return get(*names, default=default)
+
+        q_w = lget("attention.attention.query.weight",
+                   "attention.q_proj.weight")
+        k_w = lget("attention.attention.key.weight",
+                   "attention.k_proj.weight")
+        v_w = lget("attention.attention.value.weight",
+                   "attention.v_proj.weight")
+        zeros = np.zeros(C, q_w.dtype)
+        q_b = lget("attention.attention.query.bias",
+                   "attention.q_proj.bias", default=zeros)
+        k_b = lget("attention.attention.key.bias",
+                   "attention.k_proj.bias", default=zeros)
+        v_b = lget("attention.attention.value.bias",
+                   "attention.v_proj.bias", default=zeros)
         blk = {
-            "norm1": {"scale": get(pre + "norm1.weight"),
-                      "bias": get(pre + "norm1.bias")},
-            "norm2": {"scale": get(pre + "norm2.weight"),
-                      "bias": get(pre + "norm2.bias")},
+            "norm1": {"scale": lget("norm1.weight"),
+                      "bias": lget("norm1.bias")},
+            "norm2": {"scale": lget("norm2.weight"),
+                      "bias": lget("norm2.bias")},
             # torch Linear weight is (out, in) → flax kernel (in, out)
             "qkv": {"kernel": np.concatenate(
                         [q_w.T, k_w.T, v_w.T], axis=1),
                     "bias": np.concatenate([q_b, k_b, v_b])},
-            "proj": {"kernel": get(
-                        pre + "attention.output.dense.weight",
-                        pre + "attention.o_proj.weight").T,
-                     "bias": get(pre + "attention.output.dense.bias",
-                                 pre + "attention.o_proj.bias")},
-            "mlp_in": {"kernel": get(pre + "mlp.fc1.weight").T,
-                       "bias": get(pre + "mlp.fc1.bias")},
-            "mlp_out": {"kernel": get(pre + "mlp.fc2.weight").T,
-                        "bias": get(pre + "mlp.fc2.bias")},
+            "proj": {"kernel": lget("attention.output.dense.weight",
+                                    "attention.o_proj.weight").T,
+                     "bias": lget("attention.output.dense.bias",
+                                  "attention.o_proj.bias")},
+            "mlp_in": {"kernel": lget("mlp.fc1.weight",
+                                      "mlp.up_proj.weight").T,
+                       "bias": lget("mlp.fc1.bias",
+                                    "mlp.up_proj.bias")},
+            "mlp_out": {"kernel": lget("mlp.fc2.weight",
+                                       "mlp.down_proj.weight").T,
+                        "bias": lget("mlp.fc2.bias",
+                                     "mlp.down_proj.bias")},
         }
         if vit_cfg.layerscale_init is not None:
-            blk["ls1"] = {"gamma": get(pre + "layer_scale1.lambda1")}
-            blk["ls2"] = {"gamma": get(pre + "layer_scale2.lambda1")}
+            blk["ls1"] = {"gamma": lget("layer_scale1.lambda1")}
+            blk["ls2"] = {"gamma": lget("layer_scale2.lambda1")}
         params[f"block{i}"] = blk
 
     params["norm"] = {"scale": get("layernorm.weight", "norm.weight"),
