@@ -25,11 +25,17 @@ def build_datasets(cfg: Config) -> Dict[str, object]:
     create_dataloaders never builds, SURVEY.md §3.2)."""
     if cfg.tpu.dataset == "synthetic":
         from tpu3dssf.data import SyntheticNuScenes
-        n = 4 if cfg.debug else 16
+        n = cfg.tpu.synthetic_samples or (4 if cfg.debug else 16)
+        kw = dict(num_points=cfg.tpu.synthetic_points,
+                  image_hw=tuple(cfg.tpu.synthetic_image_hw),
+                  render_semantics=cfg.tpu.synthetic_render,
+                  cache=cfg.max_num_epochs > 1)
         return {
-            "train": SyntheticNuScenes(num_samples=n, seed=0),
-            "val": SyntheticNuScenes(num_samples=max(2, n // 4), seed=1),
-            "test": SyntheticNuScenes(num_samples=max(2, n // 4), seed=2),
+            "train": SyntheticNuScenes(num_samples=n, seed=0, **kw),
+            "val": SyntheticNuScenes(num_samples=max(2, n // 4), seed=1,
+                                     **kw),
+            "test": SyntheticNuScenes(num_samples=max(2, n // 4), seed=2,
+                                      **kw),
         }
 
     from tpu3dssf.data import NuScenesDataset

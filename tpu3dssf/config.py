@@ -52,6 +52,11 @@ class TPUParams:
     compute_dtype: str = "bfloat16"    # model compute dtype
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel mesh
     dataset: str = "nuscenes"          # "nuscenes" | "synthetic"
+    # synthetic-dataset shape knobs (dataset == "synthetic" only)
+    synthetic_samples: int = 0         # 0 -> debug-aware default (4/16)
+    synthetic_points: int = 34000
+    synthetic_image_hw: Tuple[int, int] = (90, 160)
+    synthetic_render: bool = False     # paint class-colored splats
 
 
 @dataclasses.dataclass
@@ -140,6 +145,10 @@ def load_config(path_or_dict) -> Config:
         compute_dtype=tp.get("compute_dtype", "bfloat16"),
         mesh_shape=mesh_shape,
         dataset=tp.get("dataset", "nuscenes"),
+        synthetic_samples=int(tp.get("synthetic_samples", 0)),
+        synthetic_points=int(tp.get("synthetic_points", 34000)),
+        synthetic_image_hw=tuple(tp.get("synthetic_image_hw", (90, 160))),
+        synthetic_render=bool(tp.get("synthetic_render", False)),
     )
     if tpu.voxel_capacity % tpu.window_size != 0:
         raise ValueError(

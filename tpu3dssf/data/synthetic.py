@@ -44,16 +44,65 @@ def _camera_ring(rng, n_cam=6, jitter=0.0):
     return K, Rt
 
 
+# one visually distinct RGB color per class 0..16 (0 = noise, gray)
+CLASS_PALETTE = np.array(
+    [[96, 96, 96],
+     [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+     [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+     [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
+     [170, 110, 40], [255, 250, 200], [128, 0, 0], [128, 128, 0]],
+    dtype=np.uint8)
+
+
+def _render_semantic_images(xyz, labels, K, Rt, image_hw, raw_size, rng):
+    """Paint each point as a class-colored 2x2 splat in every camera.
+
+    Far points are painted first so near ones overwrite them (poor man's
+    z-buffer). The intrinsics assume ``raw_size`` capture resolution;
+    splats are drawn at the rendered ``image_hw`` resolution.
+    """
+    H, W = image_hw
+    n_cam = K.shape[0]
+    su, sv = W / raw_size[1], H / raw_size[0]
+    images = rng.integers(0, 40, (n_cam, H, W, 3)).astype(np.uint8)
+    hom = np.concatenate([xyz, np.ones((xyz.shape[0], 1))], axis=1)
+    colors = CLASS_PALETTE[labels]
+    for c in range(n_cam):
+        cam = (Rt[c].astype(np.float64) @ hom.T).T[:, :3]
+        z = cam[:, 2]
+        pix = (K[c].astype(np.float64) @ cam.T).T
+        u = pix[:, 0] / np.maximum(pix[:, 2], 1e-12) * su
+        v = pix[:, 1] / np.maximum(pix[:, 2], 1e-12) * sv
+        ok = (z > 0.1) & (u >= 0) & (u < W - 1) & (v >= 0) & (v < H - 1)
+        order = np.argsort(-z[ok])  # far -> near
+        ui = u[ok].astype(np.int64)[order]
+        vi = v[ok].astype(np.int64)[order]
+        col = colors[ok][order]
+        for dv in (0, 1):
+            for du in (0, 1):
+                images[c, vi + dv, ui + du] = col
+    return images
+
+
 class SyntheticNuScenes:
     """Deterministic synthetic dataset; index-addressable like the real one."""
 
     def __init__(self, num_samples=8, num_points=34000, image_hw=(90, 160),
-                 seed=0, num_classes=NUM_CLASSES):
+                 seed=0, num_classes=NUM_CLASSES,
+                 render_semantics=False, cache=False):
         self.num_samples = num_samples
         self.num_points = num_points
         self.image_hw = image_hw
         self.seed = seed
         self.num_classes = num_classes
+        # paint class-colored point splats into the camera images so the
+        # fusion branch has real signal to learn from (a frozen ViT's
+        # patch tokens become class-discriminative); False -> pure noise
+        # images (camera branch carries no information)
+        self.render_semantics = render_semantics
+        # in-memory sample cache: generation (and especially rendering)
+        # is host-CPU-bound; multi-epoch training should pay it once
+        self._cache = {} if cache else None
         # raw capture resolution the intrinsics assume (nuScenes cameras)
         self.raw_image_size = (900, 1600)
 
@@ -61,6 +110,14 @@ class SyntheticNuScenes:
         return self.num_samples
 
     def __getitem__(self, index):
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
+        out = self._generate(index)
+        if self._cache is not None:
+            self._cache[index] = out
+        return out
+
+    def _generate(self, index):
         rng = np.random.default_rng(self.seed * 100003 + index)
         P = self.num_points
 
@@ -108,7 +165,12 @@ class SyntheticNuScenes:
 
         K, Rt = _camera_ring(rng)
         H, W = self.image_hw
-        images = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
+        if self.render_semantics:
+            images = _render_semantic_images(
+                points[:, :3], labels, K, Rt, (H, W),
+                self.raw_image_size, rng)
+        else:
+            images = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
 
         return {
             "points": points,                  # (P, 4) float32

@@ -171,6 +171,9 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
     eval_step = make_eval_step(loss_fn, num_classes)
 
     tr_hist, val_hist = [], []
+    # full per-epoch record -> <save_dir>/training_history.json (the
+    # reference commits training_history.png only; we keep the numbers)
+    history = []
     global_step = 0
 
     for epoch in range(start_epoch, num_epochs):
@@ -212,6 +215,13 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
             zero_tokens_fn=zero_tokens_fn)
         val_acc = float(metrics["overall_acc"])
         val_hist.append(val_acc)
+        history.append({
+            "epoch": epoch,
+            "train_loss": run_loss / max(it, 1),
+            "train_acc": tr_acc,
+            **{k: (v.tolist() if np.ndim(v) else float(v))
+               for k, v in metrics.items()},
+        })
         logger.log({
             "val/loss": float(metrics["loss"]),
             "val/acc": val_acc,
@@ -237,5 +247,13 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                             extra={"best_acc": float(best_acc),
                                    "epoch": epoch})
 
+    if save_dir:
+        import json
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "training_history.json"),
+                  "w") as f:
+            json.dump({"best_val_acc": float(best_acc),
+                       "epochs": history}, f, indent=1)
     print(f"Best val Acc: {best_acc:.4f}")
     return tr_hist, val_hist

@@ -57,9 +57,20 @@ def plot_training_history(train_acc: Sequence[float],
     ax.grid(True, alpha=0.3)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
-    with open(os.path.join(save_dir, "training_history.json"), "w") as f:
-        json.dump({"train_acc": [float(a) for a in train_acc],
-                   "val_acc": [float(a) for a in val_acc]}, f)
+    # merge into (don't clobber) the richer per-epoch record train_model
+    # writes to the same file
+    jpath = os.path.join(save_dir, "training_history.json")
+    record = {}
+    if os.path.exists(jpath):
+        try:
+            with open(jpath) as f:
+                record = json.load(f)
+        except (OSError, ValueError):
+            record = {}
+    record.update({"train_acc": [float(a) for a in train_acc],
+                   "val_acc": [float(a) for a in val_acc]})
+    with open(jpath, "w") as f:
+        json.dump(record, f, indent=1)
     return path
 
 
