@@ -40,6 +40,18 @@ IMAGE_HW = (640, 1138)  # dinov3 encoder input (camera.py:27)
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs on this machine
+    # skip recompiling unchanged programs entirely
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as e:  # older jax: cache flags absent
+        print(f"[bench] no persistent compile cache: {e}",
+              file=sys.stderr)
+
     import jax.numpy as jnp
     from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig,
                                         SegmentationPipeline)
@@ -56,7 +68,8 @@ def main():
     # ---- models ----
     vit_cfg = dinov3_small()
     vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype,
-                               "use_flash": on_tpu})
+                               "use_flash": on_tpu,
+                               "scan_layers": True})
     vit = VisionTransformer(vit_cfg)
 
     pipe_cfg = PipelineConfig(
@@ -88,6 +101,10 @@ def main():
     jax.block_until_ready(vit_params)
     print(f"[bench] vit init {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
+    # frozen encoder: fold LayerScale into the Dense weights (exact)
+    from tpu3dssf.models.vit import fold_layerscale
+    vit_params, vit_cfg = fold_layerscale(vit_params, vit_cfg)
+    vit = VisionTransformer(vit_cfg)
 
     @jax.jit
     def encode(imgs):

@@ -86,6 +86,58 @@ def test_dinov3_forward_parity():
     np.testing.assert_allclose(ours, hf_patches, atol=1e-4, rtol=1e-4)
 
 
+def test_dinov3_scan_layers_forward_parity():
+    """scan_layers=True (one lax.scan over stacked block params) must be
+    numerically identical to the unrolled path and to HF."""
+    from transformers import DINOv3ViTConfig, DINOv3ViTModel
+
+    hf_cfg = DINOv3ViTConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=16,
+        num_register_tokens=4, layerscale_value=0.8)
+    hf = _randomize(DINOv3ViTModel(hf_cfg), seed=5)
+
+    rng = np.random.default_rng(5)
+    px = rng.normal(size=(1, 3, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        hf_patches = hf(
+            torch.from_numpy(px)).last_hidden_state.numpy()[:, 5:]
+
+    cfg = ViTConfig(patch_size=16, image_size=(32, 48), hidden_size=32,
+                    num_layers=3, num_heads=4, mlp_ratio=4.0,
+                    num_register_tokens=4, use_rope=True, ln_eps=1e-5,
+                    scan_layers=True)
+    ours = _run_ours(cfg, hf.state_dict(), px)
+    np.testing.assert_allclose(ours, hf_patches, atol=1e-4, rtol=1e-4)
+
+
+def test_fold_layerscale_is_exact():
+    """Inference-time LayerScale folding must not change the output."""
+    import jax
+    from tpu3dssf.models.vit import fold_layerscale
+
+    for scan in (False, True):
+        cfg = ViTConfig(patch_size=16, image_size=(32, 48),
+                        hidden_size=32, num_layers=2, num_heads=4,
+                        num_register_tokens=4, use_rope=True,
+                        layerscale_init=0.7, scan_layers=scan)
+        vit = VisionTransformer(cfg)
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(1, 32, 48, 3)).astype(np.float32)
+        params = vit.init(jax.random.PRNGKey(1), x)
+        # make gammas non-trivial
+        params = jax.tree.map(
+            lambda a: a + 0.3 * (np.arange(a.size) % 7 / 7.0)
+            .reshape(a.shape).astype(a.dtype), params)
+        want = np.asarray(vit.apply(params, x)["patch_features"])
+
+        fparams, fcfg = fold_layerscale(params, cfg)
+        assert fcfg.layerscale_init is None
+        got = np.asarray(
+            VisionTransformer(fcfg).apply(fparams, x)["patch_features"])
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_dinov3_register_slice_compat_matches_reference_slice():
     """register_slice_compat reproduces the reference feats[1:-4]
     (camera.py:57-58) on the HF token layout."""

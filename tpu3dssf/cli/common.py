@@ -87,7 +87,8 @@ def build_image_encoder(cfg: Config):
         else dinov2_small()
     use_flash = cfg.tpu.use_pallas and jax.default_backend() != "cpu"
     vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype,
-                               "use_flash": use_flash})
+                               "use_flash": use_flash,
+                               "scan_layers": True})
     vit = VisionTransformer(vit_cfg)
 
     from tpu3dssf.models.vit_port import try_load_pretrained
@@ -98,6 +99,11 @@ def build_image_encoder(cfg: Config):
         params = jax.jit(vit.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1,) + vit_cfg.image_size + (3,), dtype))
+    # the encoder is frozen (excluded from the optimizer, SURVEY.md
+    # §3.1), so LayerScale can be folded into the Dense weights exactly
+    from tpu3dssf.models.vit import fold_layerscale
+    params, folded_cfg = fold_layerscale(params, vit_cfg)
+    vit = VisionTransformer(folded_cfg)
     encode = make_image_encode_fn(vit, params, vit_cfg.image_size, dtype)
     return encode, vit_cfg
 

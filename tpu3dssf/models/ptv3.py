@@ -144,10 +144,10 @@ def _pool_structure(grid, mask, out_cap, perm=None):
 
         grid_out = jax.ops.segment_max(
             jnp.where(ok_s[:, None], coarse_s, _INT_MIN), seg_s,
-            num_segments=out_cap + 1, indices_are_sorted=True)[:out_cap]
+            num_segments=out_cap + 1, indices_are_sorted=False)[:out_cap]
         count = jax.ops.segment_sum(
             ok_s.astype(jnp.int32), seg_s,
-            num_segments=out_cap + 1, indices_are_sorted=True)[:out_cap]
+            num_segments=out_cap + 1, indices_are_sorted=False)[:out_cap]
         mask_out = count > 0
         grid_out = jnp.where(mask_out[:, None], grid_out, 0)
 
@@ -283,7 +283,11 @@ class SerializedPooling(nn.Module):
         seg_s, order, grid_out, mask_out, parent, parent_ok = \
             _pool_structure(grid, mask, self.out_cap, perm)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
-        neg = jnp.float32(-3.0e38)
+        # "empty segment" sentinel for the max-pool. Must stay far from
+        # f32 overflow: a sentinel near -finfo.max that leaks into any
+        # later variance/square (LayerNorm) turns into inf -> NaN.
+        # Features here are O(10); -1e9 dominates any real value.
+        neg = jnp.float32(-1.0e9)
 
         def pool_one(hh, od, ss):
             hs = hh[od].astype(jnp.float32)
@@ -291,7 +295,7 @@ class SerializedPooling(nn.Module):
             pooled = jax.ops.segment_max(
                 jnp.where(ok[:, None], hs, neg), ss,
                 num_segments=self.out_cap + 1,
-                indices_are_sorted=True)[:self.out_cap]
+                indices_are_sorted=False)[:self.out_cap]
             return pooled
 
         pooled = jax.vmap(pool_one)(h, order, seg_s)

@@ -56,6 +56,10 @@ class ViTConfig:
     # layer_norm_eps) and RoPE base theta 100; dinov2 uses eps 1e-6
     ln_eps: float = 1e-6
     rope_theta: float = 100.0
+    # compile the transformer as ONE lax.scan over stacked block params
+    # instead of num_layers unrolled blocks: ~12x less HLO to compile
+    # (the round-1 bench spent 419 s compiling the unrolled encode)
+    scan_layers: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -238,8 +242,20 @@ class VisionTransformer(nn.Module):
                     rope_angles = jnp.pad(
                         rope_angles, ((0, Np - N), (0, 0)))
 
-        for i in range(cfg.num_layers):
-            x = ViTBlock(cfg, name=f"block{i}")(x, rope_angles, key_bias)
+        if cfg.scan_layers:
+            def body(block, carry, _):
+                return block(carry, rope_angles, key_bias), None
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(ViTBlock(cfg, name="blocks"), x, None)
+        else:
+            for i in range(cfg.num_layers):
+                x = ViTBlock(cfg, name=f"block{i}")(x, rope_angles,
+                                                    key_bias)
         x = x[:, :N]
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                          name="norm")(x)
@@ -254,6 +270,42 @@ class VisionTransformer(nn.Module):
             "patch_features": patch_tokens,
             "global_features": x[:, 0],
         }
+
+
+def fold_layerscale(params, config: ViTConfig):
+    """Fold LayerScale gammas into the adjacent Dense weights (inference).
+
+    ``LS(Dense(x)) = x @ (W * gamma) + b * gamma`` exactly, so a frozen
+    ViT can drop the two per-layer elementwise VPU passes. Returns
+    (params', config') where config' has ``layerscale_init=None`` and
+    params' has no ls1/ls2 entries. Works for both the unrolled
+    (block0..N) and scan_layers (stacked "blocks") trees.
+    """
+    if config.layerscale_init is None:
+        return params, config
+    import jax
+
+    def fold_block(blk):
+        blk = dict(blk)
+        for ls, dense in (("ls1", "proj"), ("ls2", "mlp_out")):
+            gamma = blk.pop(ls)["gamma"]
+            d = blk[dense]
+            blk[dense] = {
+                "kernel": d["kernel"] * gamma[..., None, :],
+                "bias": d["bias"] * gamma,
+            }
+        return blk
+
+    p = dict(params["params"])
+    if config.scan_layers:
+        p["blocks"] = fold_block(p["blocks"])
+    else:
+        for i in range(config.num_layers):
+            p[f"block{i}"] = fold_block(p[f"block{i}"])
+    new_cfg = dataclasses.replace(config, layerscale_init=None)
+    out = dict(params)
+    out["params"] = p
+    return jax.tree.map(lambda x: x, out), new_cfg
 
 
 def preprocess_images(images_uint8_or_float, target_hw, dtype=jnp.float32):

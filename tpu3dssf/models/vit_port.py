@@ -109,6 +109,7 @@ def port_hf_state_dict(sd, vit_cfg):
         pos = get("embeddings.position_embeddings")
         params["pos_embed"] = pos.reshape(1, -1, C)
 
+    blocks = []
     for i in range(vit_cfg.num_layers):
         pres = (f"encoder.layer.{i}.", f"layer.{i}.")
 
@@ -154,7 +155,16 @@ def port_hf_state_dict(sd, vit_cfg):
         if vit_cfg.layerscale_init is not None:
             blk["ls1"] = {"gamma": lget("layer_scale1.lambda1")}
             blk["ls2"] = {"gamma": lget("layer_scale2.lambda1")}
-        params[f"block{i}"] = blk
+        blocks.append(blk)
+
+    if vit_cfg.scan_layers:
+        # scan-over-layers expects one stacked tree: leaf[l] = layer l
+        import jax
+        params["blocks"] = jax.tree.map(
+            lambda *xs: np.stack(xs, axis=0), *blocks)
+    else:
+        for i, blk in enumerate(blocks):
+            params[f"block{i}"] = blk
 
     params["norm"] = {"scale": get("layernorm.weight", "norm.weight"),
                       "bias": get("layernorm.bias", "norm.bias")}

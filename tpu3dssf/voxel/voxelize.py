@@ -100,10 +100,10 @@ def voxelize(points, point_mask, voxel_size, capacity,
     ones = ok_s.astype(jnp.float32)
     sums = jax.ops.segment_sum(
         jnp.where(ok_s[:, None], points[perm], 0.0), seg,
-        num_segments=capacity + 1, indices_are_sorted=True,
+        num_segments=capacity + 1, indices_are_sorted=False,
     )[:capacity]
     counts = jax.ops.segment_sum(
-        ones, seg, num_segments=capacity + 1, indices_are_sorted=True
+        ones, seg, num_segments=capacity + 1, indices_are_sorted=False
     )[:capacity]
 
     voxel_mask = counts > 0
