@@ -100,3 +100,41 @@ def test_bf16_inputs(rng):
     out = window_attention_reference(q, k, v, mask)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+# ---------- full (ViT) flash attention backward ----------
+
+def test_flash_backward_matches_reference_autodiff(rng):
+    """Pallas flash backward (recompute + accumulated dk/dv) vs jax.vjp
+    of the jnp reference — including N not a block multiple (internal
+    padding) and an explicit key bias."""
+    from tpu3dssf.kernels.flash_attention import (flash_attention,
+                                                  mha_reference)
+
+    B, N, H, D = 1, 24, 2, 8
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+
+    for key_bias in (None,
+                     jnp.zeros((B, 1, N)).at[:, :, -5:].set(-1e9)):
+        def f(q_, k_, v_):
+            return flash_attention(q_, k_, v_, 16, key_bias)
+
+        with pltpu.force_tpu_interpret_mode():
+            out, vjp = jax.vjp(f, q, k, v)
+            dq, dk, dv = vjp(g)
+
+        want_out, want_vjp = jax.vjp(
+            lambda q_, k_, v_: mha_reference(q_, k_, v_, key_bias),
+            q, k, v)
+        wq, wk, wv = want_vjp(g)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(wq),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(wk),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(wv),
+                                   atol=1e-5, rtol=1e-5)

@@ -8,9 +8,11 @@ fit comfortably (N x 64 bf16 ≈ 380 KB), so each grid step computes one
 q-block against ALL keys with no HBM spill and no online-softmax carry.
 
 Layout (B, H, N, D); N padded to a q-block multiple by the caller wrapper
-(padded keys masked via additive bias). Backward = jax.vjp of the jnp
-reference (the ViT is frozen — reference excludes it from the optimizer,
-SURVEY.md §3.1 — so the backward path exists only for completeness).
+(padded keys masked via additive bias). Backward is a Pallas kernel too
+(recompute probs per q-block in VMEM; dk/dv accumulated in f32 across
+q-blocks by revisiting the same output block) — no (B, H, N, N) HBM
+spill on the gradient path, so ViT fine-tuning is unblocked even though
+the reference freezes the encoder (SURVEY.md §3.1).
 """
 
 from __future__ import annotations
@@ -113,16 +115,109 @@ def flash_attention(q, k, v, block_q=_DEF_BLOCK_Q, key_bias=None):
     return out[:, :N] if pad else out
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref):
+    """One q-block's backward: recompute probs in VMEM, emit dq; dk/dv
+    accumulate in f32 across q-blocks (their output block maps to the
+    same (b, h) slice for every grid step of the innermost q axis).
+
+    q_ref holds the PRE-SCALED q; the wrapper multiplies dq by the
+    softmax scale afterwards (dk uses the pre-scaled q directly).
+    """
+    i = pl.program_id(2)
+    q = q_ref[0, 0]                                  # (Bq, D)
+    k = k_ref[0, 0]                                  # (N, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                                # (Bq, D)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (Bq, N)
+    s = s + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+
+    pt = p.astype(v.dtype)
+    dv = jax.lax.dot_general(  # pᵀ do → (N, D)
+        pt, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # do vᵀ → (Bq, N)
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsl = ds.astype(q.dtype)
+    dq = jnp.dot(dsl, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(  # dsᵀ (q·scale) → (N, D)
+        dsl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += dk
+    dv_ref[0, 0] += dv
+
+
+def _flash_bwd_call(qs, k, v, bias, g, block_q):
+    """qs pre-scaled, all (B, H, N, D); g query-side grad. Returns
+    (dq_prescale, dk, dv) — dq still needs the softmax scale."""
+    B, H, N, D = qs.shape
+    nq = N // block_q
+    q_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, N, D), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, N), lambda b, h, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    acc = jax.ShapeDtypeStruct((B, H, N, D), jnp.float32)
+    dq, dk, dv = pl.pallas_call(
+        _flash_bwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H, N, D), qs.dtype), acc, acc),
+        grid=(B, H, nq),
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec),
+    )(qs, k, v, bias, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _fa_fwd(q, k, v, block_q, key_bias=None):
     return flash_attention(q, k, v, block_q, key_bias), (q, k, v, key_bias)
 
 
 def _fa_bwd(block_q, res, g):
     q, k, v, key_bias = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: mha_reference(q_, k_, v_, key_bias), q, k, v)
+    B, N, H, D = q.shape
+    Np = ((N + block_q - 1) // block_q) * block_q
+    pad = Np - N
+    scale = 1.0 / (D ** 0.5)
+
+    def bhnd(x):
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    if key_bias is None:
+        bias = jnp.full((B, 1, Np), 0.0, jnp.float32)
+        if pad:
+            bias = bias.at[:, :, N:].set(_NEG)
+    else:
+        bias = jnp.pad(key_bias.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, pad)), constant_values=_NEG)
+
+    qs = bhnd(q * jnp.asarray(scale, q.dtype))
+    dq, dk, dv = _flash_bwd_call(qs, bhnd(k), bhnd(v), bias, bhnd(g),
+                                 block_q)
+
+    def back(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return x[:, :N] if pad else x
+
     db = None if key_bias is None else jnp.zeros_like(key_bias)
-    return vjp(g) + (db,)
+    return (back(dq) * jnp.asarray(scale, q.dtype), back(dk), back(dv),
+            db)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
