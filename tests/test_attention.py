@@ -138,3 +138,43 @@ def test_flash_backward_matches_reference_autodiff(rng):
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(wv),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_flash_packed_matches_reference_and_grads(rng):
+    """Packed (B, N, 3C) flash path: forward + backward vs the jnp
+    reference (q channels pre-scaled by 1/sqrt(D) per the contract)."""
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  mha_reference)
+
+    B, N, H, D = 1, 32, 2, 8
+    C = H * D
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    bias = jnp.zeros((B, 1, N)).at[:, :, -6:].set(-1e9)
+    g = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    scale = 1.0 / (D ** 0.5)
+    packed = jnp.concatenate(
+        [(q * scale).reshape(B, N, C), k.reshape(B, N, C),
+         v.reshape(B, N, C)], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(
+            lambda p: flash_attention_packed(p, bias, H, 16), packed)
+        (dpacked,) = vjp(g)
+
+    def ref(p):
+        qs = p[..., :C].reshape(B, N, H, D)
+        kk = p[..., C:2 * C].reshape(B, N, H, D)
+        vv = p[..., 2 * C:].reshape(B, N, H, D)
+        # mha_reference applies its own 1/sqrt(D): undo the pre-scale
+        return mha_reference(qs * (D ** 0.5), kk, vv,
+                             bias).reshape(B, N, C)
+
+    want, wvjp = jax.vjp(ref, packed)
+    (wdp,) = wvjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dpacked), np.asarray(wdp),
+                               atol=1e-5, rtol=1e-5)

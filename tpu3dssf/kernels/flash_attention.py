@@ -183,6 +183,108 @@ def _flash_bwd_call(qs, k, v, bias, g, block_q):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _packed_kernel(heads, qkv_q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """Packed-layout flash attention: everything stays (rows, C).
+
+    qkv_q_ref: (1, Bq, C) — this q-block's channels (pre-scaled);
+    k_ref/v_ref: (1, N, C) — the SAME qkv array, channel-offset blocks;
+    o_ref: (1, Bq, C). Heads are a static unrolled loop over 64-wide
+    channel slices, so no (B,H,N,D) transposes exist anywhere and only
+    one head's (Bq, N) score matrix is live at a time.
+    """
+    bias = bias_ref[0, 0][None, :]
+    C = o_ref.shape[-1]
+    D = C // heads
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        q = qkv_q_ref[0, :, sl]                       # (Bq, D)
+        k = k_ref[0, :, sl]                           # (N, D)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (Bq, N)
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / jnp.maximum(denom, 1e-20)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q):
+    """MHA straight off the qkv projection: (B, N, 3C) → (B, N, C).
+
+    N must already be a multiple of ``block_q`` (the ViT pads its token
+    sequence once) and ``key_bias`` (B, 1, N) must mask padded keys.
+    The q channels [0, C) must be PRE-SCALED by 1/sqrt(D) — callers fold
+    the softmax scale into the qkv kernel's q columns, so not even that
+    multiply runs per token.
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    nq = N // block_q
+    bias = key_bias.astype(jnp.float32)
+
+    def cspec(which, rows):
+        if rows == N:  # full-sequence k/v block, channel-offset `which`
+            return pl.BlockSpec((1, N, C), lambda b, i, w=which: (b, 0, w),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, rows, C), lambda b, i, w=which: (b, i, w),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, heads),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=(B, nq),
+        in_specs=[
+            cspec(0, block_q),   # q block
+            cspec(1, N),         # all keys
+            cspec(2, N),         # all values
+            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(qkv, qkv, qkv, bias)
+
+
+def _fap_fwd(qkv, key_bias, heads, block_q):
+    return (flash_attention_packed(qkv, key_bias, heads, block_q),
+            (qkv, key_bias))
+
+
+def _fap_bwd(heads, block_q, res, g):
+    """Backward via the (B,H,N,D) Pallas backward — the layout shuffles
+    only run when the ViT is actually being fine-tuned."""
+    qkv, key_bias = res
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+
+    def split(x, j):
+        return x[..., j * C:(j + 1) * C].reshape(B, N, heads, D)
+
+    # q arrives pre-scaled (the caller folded 1/sqrt(D) into the qkv
+    # kernel), so the plain bhnd layout here needs NO extra scale
+    qs, k, v = (jnp.transpose(split(qkv, j), (0, 2, 1, 3))
+                for j in range(3))
+    gq = jnp.transpose(g.reshape(B, N, heads, D), (0, 2, 1, 3))
+    dq, dk, dv = _flash_bwd_call(qs, k, v, key_bias.astype(jnp.float32),
+                                 gq, block_q)
+
+    def back(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, N, C)
+
+    dqkv = jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1)
+    return dqkv, jnp.zeros_like(key_bias)
+
+
+flash_attention_packed.defvjp(_fap_fwd, _fap_bwd)
+
+
 def _fa_fwd(q, k, v, block_q, key_bias=None):
     return flash_attention(q, k, v, block_q, key_bias), (q, k, v, key_bias)
 

@@ -157,16 +157,30 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                          name="norm1")(x)
         qkv = nn.Dense(3 * C, dtype=cfg.dtype, name="qkv")(h)
-        qkv = qkv.reshape(B, N, 3, H, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if cfg.use_rope and rope_angles is not None:
-            q = _apply_rope(q, rope_angles, cfg.num_prefix_tokens)
-            k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
         if cfg.use_flash:
-            from tpu3dssf.kernels import flash_attention
-            out = flash_attention(q, k, v, 256, key_bias)
-            out = out.reshape(B, N, C)
+            # packed path: qkv stays (B, N, 3C) end to end — rope via a
+            # free trailing-dim reshape, heads sliced inside the kernel,
+            # zero transposes (PERF.md round-1 item 1)
+            from tpu3dssf.kernels.flash_attention import (
+                flash_attention_packed)
+            q = qkv[..., :C].reshape(B, N, H, D)
+            k = qkv[..., C:2 * C].reshape(B, N, H, D)
+            if cfg.use_rope and rope_angles is not None:
+                q = _apply_rope(q, rope_angles, cfg.num_prefix_tokens)
+                k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
+            q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)  # fold scale
+            packed = jnp.concatenate(
+                [q.reshape(B, N, C), k.reshape(B, N, C),
+                 qkv[..., 2 * C:]], axis=-1)
+            bias = (key_bias if key_bias is not None
+                    else jnp.zeros((B, 1, N), jnp.float32))
+            out = flash_attention_packed(packed, bias, H, 256)
         else:
+            qkv = qkv.reshape(B, N, 3, H, D)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if cfg.use_rope and rope_angles is not None:
+                q = _apply_rope(q, rope_angles, cfg.num_prefix_tokens)
+                k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (D ** 0.5)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
