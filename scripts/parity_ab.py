@@ -1,17 +1,24 @@
-"""End-to-end strict-parity A/B: reference-parity config vs default.
+"""End-to-end strict-parity A/B: reference-parity modes vs defaults.
 
-Runs the SAME params through the full SegmentationPipeline twice on one
-batch — once in strict reference-parity configuration
-(intensity_mode="knn5" + devoxelize_mode="nearest", the exact semantics
-of utils/lidar.py:97-105 and 147-155) and once in the default TPU-fast
-configuration (in-voxel mean intensity + own-voxel devoxelize) — and
-quantifies the logit / prediction delta. Writes PARITY_AB.md.
+Runs the SAME params through the full pipeline on one batch in three
+configurations and quantifies logit/prediction deltas:
 
-    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/parity_ab.py --small
-    python scripts/parity_ab.py            # full nuScenes scale, on TPU
+  default      intensity_mode=mean + devoxelize_mode=own
+  devox-parity mean + nearest   (isolates the devoxelize divergence,
+                                 reference utils/lidar.py:147-155)
+  full-parity  knn5 + nearest   (adds the sklearn-5NN intensity
+                                 semantics, utils/lidar.py:97-105)
+
+With --config/--checkpoint the comparison runs on TRAINED weights
+(meaningful margins); without, on random init (argmax is near-noise —
+recorded for completeness only). Writes PARITY_AB.md.
+
+    python scripts/parity_ab.py --config configs/synthetic_convergence_lidar.yaml \
+        --checkpoint checkpoints/synthetic/convergence_lidar
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -21,107 +28,111 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def run(small: bool):
+def run(config_path, checkpoint):
     import jax
     import jax.numpy as jnp
-    from tpu3dssf.data.pipeline import pack_sample
-    from tpu3dssf.data.synthetic import SyntheticNuScenes
-    from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig,
-                                        SegmentationPipeline)
-    from tpu3dssf.models.ptv3 import PTv3Config
+    from tpu3dssf.cli import common
+    from tpu3dssf.config import load_config
 
-    if small:
-        P, V, window = 4096, 2048, 128
-        ptv3 = PTv3Config(
-            orders=("z", "z-trans"),
-            enc_depths=(1, 1), enc_channels=(16, 32), enc_heads=(2, 4),
-            enc_window=(window, window),
-            dec_depths=(1,), dec_channels=(64,), dec_heads=(4,),
-            dec_window=(window,), use_pallas=False)
-        n_pts = 4000
-    else:
-        P, V, window = 34816, 25600, 1024
-        ptv3 = PTv3Config(enc_window=(window,) * 5,
-                          dec_window=(window,) * 4,
-                          use_pallas=jax.default_backend() != "cpu")
-        n_pts = 34000
+    cfg = load_config(config_path)
+    datasets = common.build_datasets(cfg)
+    encode_fn, vit_cfg = common.build_image_encoder(cfg)
 
-    tok_dim = 16 if small else 384
+    batch = common.example_batch(cfg, datasets)
+    images = batch.pop("images", None)
+    tokens = (encode_fn(images) if encode_fn is not None
+              and images is not None
+              else common.zero_tokens(cfg, vit_cfg, 1))
 
-    def cfg(intensity, devox):
-        return PipelineConfig(
-            fusion=FusionConfig(patch_tok_dim=tok_dim), ptv3=ptv3,
-            voxel_size=0.1, voxel_capacity=V,
-            intensity_mode=intensity, devoxelize_mode=devox)
+    def build(intensity, devox):
+        c = dataclasses.replace(
+            cfg, tpu=dataclasses.replace(
+                cfg.tpu, intensity_mode=intensity,
+                devoxelize_mode=devox))
+        model, _ = common.build_pipeline(c, vit_cfg)
+        return model
 
-    ds = SyntheticNuScenes(num_samples=1, num_points=n_pts, seed=7)
-    s = pack_sample(ds[0], P)
-    pts = jnp.asarray(s["points"])[None]
-    pmask = jnp.asarray(s["point_valid"])[None]
-    labels = np.asarray(s["labels"])[None]
-    K = jnp.asarray(s["cam_intrinsics"])[None]
-    Rt = jnp.asarray(s["lidar2cam"])[None]
-    rng = np.random.default_rng(0)
-    tokens = jnp.asarray(
-        rng.normal(size=(1, 6, 2840, tok_dim)) * 0.05, jnp.float32)
+    base = build("mean", "own")
+    state = common.init_state(cfg, base, batch, tokens)
+    trained = False
+    if checkpoint:
+        from tpu3dssf.train.checkpoint import restore_checkpoint
+        state, _, step = restore_checkpoint(checkpoint, None, state)
+        print(f"loaded trained params (step {step}) from {checkpoint}")
+        trained = True
 
-    default = SegmentationPipeline(cfg("mean", "own"))
-    parity = SegmentationPipeline(cfg("knn5", "nearest"))
-    params = jax.jit(default.init)(
-        jax.random.PRNGKey(0), pts, pmask, tokens, K, Rt)
-
-    out_d = np.asarray(jax.jit(default.apply)(
-        params, pts, pmask, tokens, K, Rt))
-    out_p = np.asarray(jax.jit(parity.apply)(
-        params, pts, pmask, tokens, K, Rt))
-
-    valid = np.asarray(pmask)[0] & (labels[0] != 0)
-    ld, lp = out_d[0][valid], out_p[0][valid]
-    pred_d, pred_p = ld.argmax(-1), lp.argmax(-1)
-    agree = float((pred_d == pred_p).mean())
-    denom = np.abs(lp).max()
-    return {
-        "scale": "small" if small else "nuScenes-scale",
-        "valid_points": int(valid.sum()),
-        "pred_agreement": agree,
-        "mean_abs_logit_delta": float(np.abs(ld - lp).mean()),
-        "max_abs_logit_delta": float(np.abs(ld - lp).max()),
-        "rel_logit_delta": float(np.abs(ld - lp).max() / denom),
+    variants = {
+        "default": ("mean", "own"),
+        "devox-parity": ("mean", "nearest"),
+        "full-parity": ("knn5", "nearest"),
     }
+    logits = {}
+    for name, (im, dm) in variants.items():
+        model = build(im, dm)
+        logits[name] = np.asarray(jax.jit(model.apply)(
+            state.params, batch["points"], batch["point_valid"], tokens,
+            batch["cam_intrinsics"], batch["lidar2cam"]))
+
+    valid = (np.asarray(batch["point_valid"])
+             & (np.asarray(batch["labels"]) != 0))
+    ref = logits["full-parity"][valid]
+    ref_pred = ref.argmax(-1)
+    rows = []
+    for name in ("default", "devox-parity"):
+        l = logits[name][valid]
+        rows.append({
+            "variant": name,
+            "agreement": float((l.argmax(-1) == ref_pred).mean()),
+            "mean_delta": float(np.abs(l - ref).mean()),
+            "max_delta": float(np.abs(l - ref).max()),
+        })
+    acc = None
+    labels = np.asarray(batch["labels"])[valid] - 1
+    acc = {name: float((logits[name][valid].argmax(-1) == labels).mean())
+           for name in variants}
+    return {"trained": trained, "valid_points": int(valid.sum()),
+            "rows": rows, "acc": acc}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true",
-                    help="tiny PTv3 + 4k points (CPU-friendly)")
+    ap.add_argument("--config",
+                    default="configs/synthetic_convergence_lidar.yaml")
+    ap.add_argument("--checkpoint", default=None,
+                    help="Orbax checkpoint dir with trained params")
     ap.add_argument("--out", default="PARITY_AB.md")
     args = ap.parse_args()
 
-    r = run(args.small)
+    r = run(args.config, args.checkpoint)
     print(r)
     lines = [
-        "# Strict-parity A/B — reference-parity vs default config",
+        "# Strict-parity A/B — reference-parity modes vs fast defaults",
         "",
-        "Same params, same batch, full pipeline "
-        "(voxelize → PTv3 → fusion → devoxelize). Parity config: "
+        "Same params, same batch, full pipeline (voxelize → PTv3 → "
+        "head → devoxelize). Reference point: `full-parity` = "
         "`intensity_mode=knn5` (sklearn 5-NN semantics, "
         "utils/lidar.py:97-105) + `devoxelize_mode=nearest` "
-        "(cdist-argmin semantics, utils/lidar.py:147-155). Default: "
-        "in-voxel mean intensity + own-voxel devoxelize.",
+        "(cdist-argmin semantics, utils/lidar.py:147-155).",
         "",
-        f"- scale: {r['scale']}  ({r['valid_points']} valid points)",
-        f"- prediction agreement: **{r['pred_agreement']:.4f}**",
-        f"- mean |logit delta|: {r['mean_abs_logit_delta']:.3e}",
-        f"- max |logit delta|: {r['max_abs_logit_delta']:.3e} "
-        f"({r['rel_logit_delta']:.2%} of max |logit|)",
+        f"- params: {'TRAINED' if r['trained'] else 'random init'};"
+        f" {r['valid_points']} valid points",
         "",
-        "Deltas come from (a) intensity transfer (5-NN weighted vs "
-        "in-voxel mean — different by design, feeds PTv3's 4th input "
-        "channel) and (b) devoxelize tie-breaks where a point's nearest "
-        "centroid is not its own cell's. Per-component parity of the "
-        "knn5/nearest modes themselves is oracle-tested in "
-        "tests/test_voxel.py; prediction-level agreement here bounds "
-        "the end-to-end effect of running the fast defaults.",
+        "| variant | pred agreement vs full-parity | mean delta "
+        "| max delta |",
+        "|---|---|---|---|",
+    ]
+    for row in r["rows"]:
+        lines.append(
+            f"| {row['variant']} | {row['agreement']:.4f} | "
+            f"{row['mean_delta']:.3e} | {row['max_delta']:.3e} |")
+    lines += [
+        "",
+        "Point-level accuracy per variant (same batch): "
+        + ", ".join(f"{k}={v:.4f}" for k, v in r["acc"].items()),
+        "",
+        "Per-component parity of the knn5/nearest modes themselves is "
+        "oracle-tested in tests/test_voxel.py; the table above bounds "
+        "the end-to-end effect of running the fast defaults instead.",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

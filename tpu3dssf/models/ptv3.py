@@ -89,16 +89,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _serialize_perms(grid, mask, orders):
-    """Per-order (perm, inv) for a batched point set; each (B, N)."""
+    """Per-order (perm, inv) for a batched point set; each (B, N).
 
-    def one(g, m, order):
-        hi, lo = serialization_keys(g, order)
-        perm = argsort_lex(hi, lo, m)
+    All orders are folded into the batch dimension so the whole level
+    runs ONE batched lexicographic sort instead of len(orders) calls.
+    """
+    B, N = mask.shape
+    his, los = [], []
+    for order in orders:
+        hi, lo = serialization_keys(grid, order)     # (B, N) each
+        his.append(hi)
+        los.append(lo)
+    hi = jnp.concatenate(his, axis=0)                # (O*B, N)
+    lo = jnp.concatenate(los, axis=0)
+    m = jnp.tile(mask, (len(orders), 1))
+
+    def one(h, l, mm):
+        perm = argsort_lex(h, l, mm)
         return perm, inverse_permutation(perm)
 
+    perm, inv = jax.vmap(one)(hi, lo, m)
     out = {}
-    for order in orders:
-        out[order] = jax.vmap(lambda g, m: one(g, m, order))(grid, mask)
+    for i, order in enumerate(orders):
+        out[order] = (perm[i * B:(i + 1) * B], inv[i * B:(i + 1) * B])
     return out
 
 
@@ -382,18 +395,24 @@ class PointTransformerV3(nn.Module):
                     drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
                     dtype=cfg.dtype, name=f"enc{s}_blk{b}",
                 )(x, perms, order, cpe_order, msk, deterministic)
-            skips.append((x, grid, msk))
+            skips.append((x, grid, msk, perms))
 
         # ---- decoder ----
         for d in reversed(range(cfg.num_stages - 1)):
-            skip_x, skip_grid, skip_mask = skips[d]
+            skip_x, skip_grid, skip_mask, skip_perms = skips[d]
             parent, parent_ok = pools[d]
             x = SerializedUnpooling(
                 cfg.dec_channels[d], dtype=cfg.dtype, name=f"unpool{d}",
             )(x, skip_x, parent, parent_ok, skip_mask)
             grid, msk = skip_grid, skip_mask
-            perms = _serialize_perms(grid, msk,
-                                     used_orders(cfg.dec_depths[d]))
+            # reuse the encoder's permutations for this level — same
+            # grid/mask, so re-sorting is pure waste; only compute
+            # orders the encoder stage didn't need
+            need = used_orders(cfg.dec_depths[d])
+            missing = tuple(o for o in need if o not in skip_perms)
+            perms = dict(skip_perms)
+            if missing:
+                perms.update(_serialize_perms(grid, msk, missing))
             for b in range(cfg.dec_depths[d]):
                 order = orders[b % len(orders)]
                 x = Block(
