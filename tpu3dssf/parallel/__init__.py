@@ -4,6 +4,7 @@ from tpu3dssf.parallel.mesh import (
     replicate,
     batch_sharding,
     replicated_sharding,
+    vit_tp_shardings,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "replicated_sharding",
+    "vit_tp_shardings",
 ]

@@ -59,3 +59,32 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params / train state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def vit_tp_shardings(params, mesh: Mesh, axis: str = "model"):
+    """Megatron-style tensor-parallel NamedShardings for a ViT tree.
+
+    Column-parallel qkv/mlp_in (output dim sharded over ``axis``),
+    row-parallel proj/mlp_out (input dim sharded) — GSPMD then inserts
+    the single all-reduce per residual branch over ICI. Everything else
+    (norms, embeddings) is replicated. Works for both the unrolled
+    (block0..N) and scan_layers (stacked "blocks") param trees; kernels
+    gain one leading layer dim in the stacked case, which is why specs
+    are derived from rank. Intended for the ViT-L option (SURVEY.md
+    §2.4: "keep mesh axis reserved for ViT-L"); use the einsum
+    attention path (use_flash=False) — Pallas kernels need shard_map.
+    """
+    def spec_for(path, x):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leaf = names[-1]
+        mod = names[-2] if len(names) >= 2 else ""
+        if mod in ("qkv", "mlp_in") and leaf == "kernel":
+            return P(*([None] * (x.ndim - 1) + [axis]))      # column
+        if mod in ("qkv", "mlp_in") and leaf == "bias":
+            return P(*([None] * (x.ndim - 1) + [axis]))
+        if mod in ("proj", "mlp_out") and leaf == "kernel":
+            return P(*([None] * (x.ndim - 2) + [axis, None]))  # row
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, spec_for(path, x)), params)
