@@ -127,9 +127,11 @@ def _apply_rope(x, angles, n_prefix):
     cos = jnp.cos(angles)[None, :, None, :]
     sin = jnp.sin(angles)[None, :, None, :]
     p1, p2 = patches[..., :half], patches[..., half:]
+    # rotate in f32 (cos/sin are f32), return in the input dtype so
+    # bf16 compute paths (and the scan carry) keep a stable dtype
     rotated = jnp.concatenate(
         [p1 * cos - p2 * sin, p1 * sin + p2 * cos], axis=-1)
-    return jnp.concatenate([prefix, rotated], axis=1)
+    return jnp.concatenate([prefix, rotated.astype(x.dtype)], axis=1)
 
 
 class LayerScale(nn.Module):
@@ -140,7 +142,7 @@ class LayerScale(nn.Module):
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.constant(self.init),
                            (self.dim,))
-        return x * gamma
+        return x * gamma.astype(x.dtype)
 
 
 class ViTBlock(nn.Module):
@@ -187,7 +189,7 @@ class ViTBlock(nn.Module):
         out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
         if cfg.layerscale_init is not None:
             out = LayerScale(C, cfg.layerscale_init, name="ls1")(out)
-        x = x + out
+        x = x + out.astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                          name="norm2")(x)
@@ -198,7 +200,7 @@ class ViTBlock(nn.Module):
         h = nn.Dense(C, dtype=cfg.dtype, name="mlp_out")(h)
         if cfg.layerscale_init is not None:
             h = LayerScale(C, cfg.layerscale_init, name="ls2")(h)
-        return x + h
+        return x + h.astype(x.dtype)
 
 
 class VisionTransformer(nn.Module):
