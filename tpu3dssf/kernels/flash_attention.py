@@ -26,6 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9
 _DEF_BLOCK_Q = 256
+# full-sequence K/V residency + f32 score temporaries slightly exceed the
+# default 16 MB scoped-VMEM budget at ViT scale (6 imgs x 3072 tokens);
+# raise the Mosaic limit (v5e VMEM is 128 MB) instead of shrinking blocks
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def mha_reference(q, k, v, bias=None):
@@ -79,6 +83,7 @@ def _flash_call(q, k, v, bias, block_q):
         grid=(B, H, nq),
         in_specs=[qkv_spec_q, kv_spec, kv_spec, bias_spec],
         out_specs=qkv_spec_q,
+        compiler_params=_COMPILER_PARAMS,
     )(q, k, v, bias)
 
 
@@ -179,6 +184,7 @@ def _flash_bwd_call(qs, k, v, bias, g, block_q):
         grid=(B, H, nq),
         in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec],
         out_specs=(q_spec, kv_spec, kv_spec),
+        compiler_params=_COMPILER_PARAMS,
     )(qs, k, v, bias, g)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
@@ -248,6 +254,7 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q):
         ],
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_COMPILER_PARAMS,
     )(qkv, qkv, qkv, bias)
 
 

@@ -115,6 +115,45 @@ def _serialize_perms(grid, mask, orders):
     return out
 
 
+def _compose_perm(a, b):
+    """Batched permutation composition: out[., t] = a[., b[., t]]."""
+    return jnp.take_along_axis(a, b, axis=1)
+
+
+def _pool_structure_sorted(grid, mask, out_cap):
+    """`_pool_structure` for inputs ALREADY in serialized order.
+
+    The stream spends each stage in its CPE curve order (hierarchical ⇒
+    points of one coarse cell are contiguous), so the pooling sort AND
+    the parent scatter both collapse to identity.
+
+    Returns (seg, grid_out, mask_out, parent, parent_ok) — parent maps
+    each SORTED fine point to its coarse vid slot.
+    """
+
+    def one(g, m):
+        coarse = g >> 1
+        diff = jnp.any(coarse[1:] != coarse[:-1], axis=-1)
+        new = jnp.concatenate([
+            jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)])
+        new = jnp.where(m, new, 0)
+        vid = jnp.cumsum(new) - 1
+        ok = m & (vid >= 0) & (vid < out_cap)
+        seg = jnp.where(ok, vid, out_cap)
+        grid_out = jax.ops.segment_max(
+            jnp.where(ok[:, None], coarse, _INT_MIN), seg,
+            num_segments=out_cap + 1, indices_are_sorted=False)[:out_cap]
+        count = jax.ops.segment_sum(
+            ok.astype(jnp.int32), seg,
+            num_segments=out_cap + 1, indices_are_sorted=False)[:out_cap]
+        mask_out = count > 0
+        grid_out = jnp.where(mask_out[:, None], grid_out, 0)
+        parent = jnp.clip(vid, 0, out_cap - 1).astype(jnp.int32)
+        return seg, grid_out, mask_out, parent, ok
+
+    return jax.vmap(one)(grid, mask)
+
+
 def _pool_structure(grid, mask, out_cap, perm=None):
     """Grouping of a batched point set into 2x-coarser grid cells.
 
@@ -187,14 +226,16 @@ class SerializedCPE(nn.Module):
 
     @nn.compact
     def __call__(self, x, perm, inv, mask):
-        xs = jnp.take_along_axis(
-            x * mask[..., None], perm[..., None], axis=1)
+        xs = x * mask[..., None]
+        if perm is not None:
+            xs = jnp.take_along_axis(xs, perm[..., None], axis=1)
         y = nn.Conv(
             features=self.channels, kernel_size=(3,),
             feature_group_count=self.channels, use_bias=True,
             dtype=self.dtype, name="depthwise")(xs)
         y = nn.Dense(self.channels, dtype=self.dtype, name="pointwise")(y)
-        y = jnp.take_along_axis(y, inv[..., None], axis=1)
+        if inv is not None:
+            y = jnp.take_along_axis(y, inv[..., None], axis=1)
         return x + y * mask[..., None]
 
 
@@ -215,8 +256,11 @@ class SerializedAttention(nn.Module):
         D = self.channels // H
 
         qkv = nn.Dense(3 * self.channels, dtype=self.dtype, name="qkv")(x)
-        qkv = jnp.take_along_axis(qkv, perm[..., None], axis=1)
-        mask_s = jnp.take_along_axis(mask, perm, axis=1)
+        if perm is not None:
+            qkv = jnp.take_along_axis(qkv, perm[..., None], axis=1)
+            mask_s = jnp.take_along_axis(mask, perm, axis=1)
+        else:
+            mask_s = mask
 
         W = N // K
         qkv = qkv.reshape(B * W, K, 3, H, D)
@@ -225,7 +269,8 @@ class SerializedAttention(nn.Module):
 
         out = window_attention(q, k, v, key_mask, self.use_pallas)
         out = out.reshape(B, N, C)
-        out = jnp.take_along_axis(out, inv[..., None], axis=1)
+        if inv is not None:
+            out = jnp.take_along_axis(out, inv[..., None], axis=1)
         return nn.Dense(self.channels, dtype=self.dtype, name="proj")(out)
 
 
@@ -289,12 +334,18 @@ class SerializedPooling(nn.Module):
 
     channels: int
     out_cap: int
+    presorted: bool = False  # input already in a serialized order
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, grid, mask, perm=None):
-        seg_s, order, grid_out, mask_out, parent, parent_ok = \
-            _pool_structure(grid, mask, self.out_cap, perm)
+        if self.presorted:
+            seg_s, grid_out, mask_out, parent, parent_ok = \
+                _pool_structure_sorted(grid, mask, self.out_cap)
+            order = None
+        else:
+            seg_s, order, grid_out, mask_out, parent, parent_ok = \
+                _pool_structure(grid, mask, self.out_cap, perm)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
         # "empty segment" sentinel for the max-pool. Must stay far from
         # f32 overflow: a sentinel near -finfo.max that leaks into any
@@ -303,7 +354,7 @@ class SerializedPooling(nn.Module):
         neg = jnp.float32(-1.0e9)
 
         def pool_one(hh, od, ss):
-            hs = hh[od].astype(jnp.float32)
+            hs = (hh if od is None else hh[od]).astype(jnp.float32)
             ok = ss < self.out_cap
             pooled = jax.ops.segment_max(
                 jnp.where(ok[:, None], hs, neg), ss,
@@ -311,7 +362,11 @@ class SerializedPooling(nn.Module):
                 indices_are_sorted=False)[:self.out_cap]
             return pooled
 
-        pooled = jax.vmap(pool_one)(h, order, seg_s)
+        if order is None:
+            pooled = jax.vmap(lambda hh, ss: pool_one(hh, None, ss))(
+                h, seg_s)
+        else:
+            pooled = jax.vmap(pool_one)(h, order, seg_s)
         pooled = jnp.where(mask_out[..., None], pooled, 0.0).astype(
             self.dtype)
         pooled = nn.LayerNorm(dtype=self.dtype, name="norm")(pooled)
@@ -376,17 +431,38 @@ class PointTransformerV3(nn.Module):
             used.add(cpe_order)
             return tuple(o for o in orders if o in used)
 
+        # The residual stream spends each stage in its CPE curve order:
+        # the per-block CPE gather/scatter pair and the pooling sort
+        # collapse to identity, and the other attention orders become
+        # RELATIVE permutations (two int-index compositions per stage
+        # instead of two (B, N, C) float gathers per block).
+        def sorted_space(perms_orig):
+            perm_c, inv_c = perms_orig[cpe_order]
+            rel = {}
+            for o, (p, i) in perms_orig.items():
+                if o == cpe_order:
+                    rel[o] = (None, None)
+                else:
+                    rel[o] = (_compose_perm(inv_c, p),
+                              _compose_perm(i, perm_c))
+            return perm_c, inv_c, rel
+
         # ---- encoder ----
-        perms = None
+        inv_cpes = []  # per stage: un-sort index (sorted -> vid space)
         for s in range(cfg.num_stages):
             if s > 0:
                 x, grid, msk, parent, parent_ok = SerializedPooling(
-                    cfg.enc_channels[s], caps[s], dtype=cfg.dtype,
-                    name=f"pool{s}",
-                )(x, grid, msk, perm=perms[cpe_order][0])
+                    cfg.enc_channels[s], caps[s], presorted=True,
+                    dtype=cfg.dtype, name=f"pool{s}",
+                )(x, grid, msk)
                 pools.append((parent, parent_ok))
-            perms = _serialize_perms(grid, msk,
-                                     used_orders(cfg.enc_depths[s]))
+            perms_orig = _serialize_perms(grid, msk,
+                                          used_orders(cfg.enc_depths[s]))
+            perm_c, inv_c, perms = sorted_space(perms_orig)
+            x = jnp.take_along_axis(x, perm_c[..., None], axis=1)
+            grid = jnp.take_along_axis(grid, perm_c[..., None], axis=1)
+            msk = jnp.take_along_axis(msk, perm_c, axis=1)
+            inv_cpes.append(inv_c)
             for b in range(cfg.enc_depths[s]):
                 order = orders[b % len(orders)]
                 x = Block(
@@ -401,13 +477,17 @@ class PointTransformerV3(nn.Module):
         for d in reversed(range(cfg.num_stages - 1)):
             skip_x, skip_grid, skip_mask, skip_perms = skips[d]
             parent, parent_ok = pools[d]
+            # parent points at coarse VID slots; the coarse stream is in
+            # the coarse stage's sorted space — compose with its inverse
+            parent = _compose_perm(inv_cpes[d + 1], parent)
             x = SerializedUnpooling(
                 cfg.dec_channels[d], dtype=cfg.dtype, name=f"unpool{d}",
             )(x, skip_x, parent, parent_ok, skip_mask)
             grid, msk = skip_grid, skip_mask
             # reuse the encoder's permutations for this level — same
             # grid/mask, so re-sorting is pure waste; only compute
-            # orders the encoder stage didn't need
+            # orders the encoder stage didn't need (grid is already in
+            # this level's sorted space, so fresh perms ARE relative)
             need = used_orders(cfg.dec_depths[d])
             missing = tuple(o for o in need if o not in skip_perms)
             perms = dict(skip_perms)
@@ -422,4 +502,6 @@ class PointTransformerV3(nn.Module):
                     dtype=cfg.dtype, name=f"dec{d}_blk{b}",
                 )(x, perms, order, cpe_order, msk, deterministic)
 
-        return x, msk
+        # stream is in stage-0 sorted space; un-sort to input point order
+        x = jnp.take_along_axis(x, inv_cpes[0][..., None], axis=1)
+        return x, mask
