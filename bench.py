@@ -101,9 +101,14 @@ def main():
     jax.block_until_ready(vit_params)
     print(f"[bench] vit init {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
-    # frozen encoder: fold LayerScale into the Dense weights (exact)
-    from tpu3dssf.models.vit import fold_layerscale
-    vit_params, vit_cfg = fold_layerscale(vit_params, vit_cfg)
+    # frozen encoder: fold LayerScale into the Dense weights (exact);
+    # BENCH_INT8=1 additionally quantizes block matmuls to W8A8
+    if os.environ.get("BENCH_INT8") == "1" and on_tpu:
+        from tpu3dssf.models.vit import quantize_vit
+        vit_params, vit_cfg = quantize_vit(vit_params, vit_cfg)
+    else:
+        from tpu3dssf.models.vit import fold_layerscale
+        vit_params, vit_cfg = fold_layerscale(vit_params, vit_cfg)
     vit = VisionTransformer(vit_cfg)
 
     @jax.jit

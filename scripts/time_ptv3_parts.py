@@ -1,0 +1,83 @@
+"""Pinpoint PTv3's time budget: block pieces at each pyramid level."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+WINDOW = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+    from tpu3dssf.utils.timing import time_device
+    from tpu3dssf.models.ptv3 import (PTv3Block, SerializedCPE,
+                                      _serialize_perms, PTv3Config)
+    from tpu3dssf.kernels import window_attention
+    from tpu3dssf.serialization import SERIALIZATION_ORDERS
+
+    dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    cfg = PTv3Config()
+
+    # (N, C, H) per encoder stage at the bench capacities
+    caps = cfg.capacities(25600)
+    print("caps:", caps)
+
+    def tb(name, fn, *args, iters=50):
+        dt = time_device(fn, *args, iters=iters)
+        print(f"{name:44s} {dt*1e3:8.3f} ms", flush=True)
+        return dt * 1e3
+
+    total_attn = 0.0
+    total_blk = 0.0
+    for s, (N, C, H) in enumerate(zip(caps, cfg.enc_channels,
+                                      cfg.enc_heads)):
+        x = jnp.asarray(rng.normal(size=(1, N, C)) * 0.1, dtype)
+        grid = jnp.asarray(rng.integers(0, 512, (1, N, 3)), jnp.int32)
+        mask = jnp.ones((1, N), bool)
+
+        # window attention alone at this stage's shape
+        K = min(WINDOW, N)
+        W = N // K
+        D = C // H
+        q = jnp.asarray(rng.normal(size=(W, K, H, D)), dtype)
+        km = np.ones((W, K), bool)
+        dt = tb(f"s{s} window_attn N={N} C={C} h={H}",
+                jax.jit(lambda a, b, c: window_attention(
+                    a, b, c, jnp.asarray(km), True)), q, q, q)
+        total_attn += dt * cfg.enc_depths[s]
+
+        # full block (CPE + attn + MLP) with identity CPE + real perm
+        perms = _serialize_perms(grid, mask, ("z", "z-trans"))
+        rel = {"z": (None, None), "z-trans": perms["z-trans"]}
+        blk = PTv3Block(C, H, WINDOW, 4.0, use_pallas=True, dtype=dtype)
+        bp = jax.jit(blk.init, static_argnums=(3, 4, 6))(
+            jax.random.PRNGKey(0), x, rel, "z-trans", "z", mask, True)
+        f = jax.jit(lambda xx, pp: blk.apply(bp, xx, {"z": (None, None),
+                                                      "z-trans": pp},
+                                             "z-trans", "z", mask, True))
+        dt = tb(f"s{s} full block N={N} C={C}", f, x, perms["z-trans"])
+        total_blk += dt * cfg.enc_depths[s]
+
+        # serialization sort cost at this level (4 orders)
+        tb(f"s{s} serialize 4 orders N={N}",
+           jax.jit(lambda g, m: _serialize_perms(
+               g, m, SERIALIZATION_ORDERS)), grid, mask, iters=20)
+
+    print(f"encoder attn sum (depth-weighted)  {total_attn:.2f} ms")
+    print(f"encoder block sum (depth-weighted) {total_blk:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,45 @@ def test_weight_port_roundtrip(rng):
     assert ref_shapes == got_shapes
     out = vit.apply(params, x)
     assert np.isfinite(np.asarray(out["patch_features"])).all()
+
+
+def test_quantize_vit_matches_float(rng):
+    """W8A8 path tracks the float forward within int8 tolerance, for
+    both unrolled and scan-layers param trees."""
+    from tpu3dssf.models.vit import quantize_vit
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)), jnp.float32)
+    for scan in (False, True):
+        # layerscale 1.0: the default 1e-5 init suppresses block outputs
+        # at random init, which would hide any quantization defect
+        cfg = tiny(use_rope=True, scan_layers=scan, layerscale_init=1.0)
+        vit = VisionTransformer(cfg)
+        params = vit.init(jax.random.PRNGKey(0), x)
+        ref = vit.apply(params, x)["patch_features"]
+
+        qparams, qcfg = quantize_vit(params, cfg)
+        assert qcfg.quant_int8 and qcfg.layerscale_init is None
+        leaves = jax.tree.leaves(qparams)
+        assert any(l.dtype == jnp.int8 for l in leaves)
+        out = VisionTransformer(qcfg).apply(qparams, x)["patch_features"]
+        err = float(jnp.abs(out - ref).max())
+        denom = float(jnp.abs(ref).max())
+        # int8 is approximate — the error must be small but NONZERO
+        # (zero would mean the quantized path silently isn't running)
+        assert 0.0 < err < 0.05 * max(denom, 1.0), (scan, err, denom)
+
+
+def test_quantize_vit_int8_grid_is_used(rng):
+    """The quantized kernel really is int8 round(W/scale)."""
+    from tpu3dssf.models.vit import quantize_vit, fold_layerscale
+
+    cfg = tiny()
+    vit = VisionTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+    fparams, _ = fold_layerscale(params, cfg)
+    qparams, _ = quantize_vit(params, cfg)
+    w = np.asarray(fparams["params"]["block0"]["qkv"]["kernel"])
+    q = qparams["params"]["block0"]["qkv"]
+    rec = np.asarray(q["kernel_q"], np.float32) * np.asarray(q["scale"])
+    assert np.abs(rec - w).max() <= (np.abs(w).max(0) / 127.0 + 1e-9).max()

@@ -157,3 +157,29 @@ def test_voxelize_jits_and_vmaps(rng):
     res = fn(jnp.asarray(pts), jnp.asarray(mask))
     assert res.voxel_raw.shape == (B, cap, 4)
     assert res.voxel_mask.shape == (B, cap)
+
+
+def test_knn_pallas_matches_xla_path(rng):
+    """Pallas k-NN kernel (interpret mode) == the XLA tiled top-k."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu3dssf.kernels.knn import knn_pallas
+    from tpu3dssf.voxel.voxelize import _tiled_topk_neighbors
+
+    Q, R = 128, 256
+    q = jnp.asarray(rng.normal(size=(Q, 3)) * 10, jnp.float32)
+    r = jnp.asarray(rng.normal(size=(R, 3)) * 10, jnp.float32)
+    rmask = jnp.asarray(rng.random(R) > 0.2)
+    for k in (1, 5):
+        want_d, want_i = _tiled_topk_neighbors(
+            q, jnp.ones(Q, bool), r, rmask, k, tile=64)
+        with pltpu.force_tpu_interpret_mode():
+            got_d, got_i = knn_pallas(q, r, rmask, k)
+        np.testing.assert_allclose(np.asarray(got_d),
+                                   np.asarray(want_d), rtol=1e-5,
+                                   atol=1e-4)
+        # ties can legitimately swap indices; distances above pin the
+        # semantics, indices must point at equally-near refs
+        dd = np.sum((np.asarray(q)[:, None] -
+                     np.asarray(r)[np.asarray(got_i)]) ** 2, -1)
+        np.testing.assert_allclose(dd, np.asarray(want_d), rtol=1e-5,
+                                   atol=1e-4)

@@ -60,6 +60,11 @@ class ViTConfig:
     # instead of num_layers unrolled blocks: ~12x less HLO to compile
     # (the round-1 bench spent 419 s compiling the unrolled encode)
     scan_layers: bool = False
+    # W8A8 inference: block Dense matmuls run int8xint8->int32 on the
+    # MXU (2x bf16 throughput on v5e). Params come from quantize_vit();
+    # weights are per-output-channel symmetric, activations per-token
+    # dynamic symmetric. Attention + patch embed stay bf16.
+    quant_int8: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -134,6 +139,40 @@ def _apply_rope(x, angles, n_prefix):
     return jnp.concatenate([prefix, rotated.astype(x.dtype)], axis=1)
 
 
+class QuantDense(nn.Module):
+    """W8A8 Dense: int8 weights (per-output-channel symmetric scales) x
+    int8 activations (per-token dynamic symmetric), int32 MXU
+    accumulation, f32 dequant epilogue.
+
+    Parameters are produced by :func:`quantize_vit`; ``init`` creates
+    correctly-shaped placeholders so param trees line up.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros, (in_dim, self.features),
+            jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        a_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        a_scale = jnp.maximum(a_scale, 1e-8)
+        x_q = jnp.round(xf / a_scale).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q, kernel_q,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (a_scale * scale) + bias
+        return out.astype(self.dtype)
+
+
 class LayerScale(nn.Module):
     dim: int
     init: float
@@ -156,9 +195,14 @@ class ViTBlock(nn.Module):
         D = C // H
         B, N, _ = x.shape
 
+        def dense(feats, name):
+            if cfg.quant_int8:
+                return QuantDense(feats, dtype=cfg.dtype, name=name)
+            return nn.Dense(feats, dtype=cfg.dtype, name=name)
+
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                          name="norm1")(x)
-        qkv = nn.Dense(3 * C, dtype=cfg.dtype, name="qkv")(h)
+        qkv = dense(3 * C, "qkv")(h)
         if cfg.use_flash:
             # packed path: qkv stays (B, N, 3C) end to end — rope via a
             # free trailing-dim reshape, heads sliced inside the kernel,
@@ -186,18 +230,17 @@ class ViTBlock(nn.Module):
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (D ** 0.5)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
-        out = nn.Dense(C, dtype=cfg.dtype, name="proj")(out)
+        out = dense(C, "proj")(out)
         if cfg.layerscale_init is not None:
             out = LayerScale(C, cfg.layerscale_init, name="ls1")(out)
         x = x + out.astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
                          name="norm2")(x)
-        h = nn.Dense(int(C * cfg.mlp_ratio), dtype=cfg.dtype,
-                     name="mlp_in")(h)
+        h = dense(int(C * cfg.mlp_ratio), "mlp_in")(h)
         # exact (erf) GELU — HF ACT2FN["gelu"]; flax default is tanh-approx
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, dtype=cfg.dtype, name="mlp_out")(h)
+        h = dense(C, "mlp_out")(h)
         if cfg.layerscale_init is not None:
             h = LayerScale(C, cfg.layerscale_init, name="ls2")(h)
         return x + h.astype(x.dtype)
@@ -319,6 +362,45 @@ def fold_layerscale(params, config: ViTConfig):
         for i in range(config.num_layers):
             p[f"block{i}"] = fold_block(p[f"block{i}"])
     new_cfg = dataclasses.replace(config, layerscale_init=None)
+    out = dict(params)
+    out["params"] = p
+    return jax.tree.map(lambda x: x, out), new_cfg
+
+
+def quantize_vit(params, config: ViTConfig):
+    """Convert a float ViT param tree to the W8A8 inference layout.
+
+    Folds LayerScale first (exact), then quantizes each block Dense to
+    int8 with per-output-channel symmetric scales:
+    ``W ≈ kernel_q * scale`` with ``kernel_q = round(W / scale)``,
+    ``scale = max|W[:, o]| / 127``. Handles both unrolled (block0..N)
+    and scan_layers (stacked "blocks", leading layer axis — scales are
+    per layer per channel) trees. Returns (params', config') with
+    ``quant_int8=True``.
+    """
+    params, config = fold_layerscale(params, config)
+
+    def quant_dense(d):
+        w = jnp.asarray(d["kernel"], jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=-2) / 127.0   # (..., out)
+        scale = jnp.maximum(scale, 1e-12)
+        kernel_q = jnp.round(w / scale[..., None, :]).astype(jnp.int8)
+        return {"kernel_q": kernel_q, "scale": scale,
+                "bias": jnp.asarray(d["bias"], jnp.float32)}
+
+    def quant_block(blk):
+        blk = dict(blk)
+        for name in ("qkv", "proj", "mlp_in", "mlp_out"):
+            blk[name] = quant_dense(blk[name])
+        return blk
+
+    p = dict(params["params"])
+    if config.scan_layers:
+        p["blocks"] = quant_block(p["blocks"])
+    else:
+        for i in range(config.num_layers):
+            p[f"block{i}"] = quant_block(p[f"block{i}"])
+    new_cfg = dataclasses.replace(config, quant_int8=True)
     out = dict(params)
     out["params"] = p
     return jax.tree.map(lambda x: x, out), new_cfg

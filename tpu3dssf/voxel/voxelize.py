@@ -159,6 +159,17 @@ def _tiled_topk_neighbors(queries, query_mask, refs, ref_mask, k, tile=2048):
     """
     Q = queries.shape[0]
     R = refs.shape[0]
+
+    # TPU fast path: Pallas kernel keeps the (64, R) distance block and
+    # the k selection rounds in VMEM — the XLA loop below re-streams the
+    # distance blocks through HBM ~2(k+1) times. Measured at nuScenes
+    # scale (25.6k x 34.8k): knn5 voxelize 87.4 -> 17.9 ms, 1-NN
+    # devoxelize 14.1 -> 8.8 ms; results bit-identical to this XLA path.
+    if (jax.default_backend() == "tpu" and k <= 8
+            and Q % 64 == 0 and R % 128 == 0):
+        from tpu3dssf.kernels.knn import knn_pallas
+        return knn_pallas(queries, refs, ref_mask, k)
+
     num_tiles = -(-R // tile)
     pad_r = num_tiles * tile - R
     refs_p = jnp.pad(refs, ((0, pad_r), (0, 0)))
