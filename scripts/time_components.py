@@ -63,8 +63,16 @@ def main():
                jax.jit(lambda im: preprocess_images(im, IMAGE_HW, dtype)),
                imgs)
         vfwd = jax.jit(lambda x: vit.apply(vp, x)["patch_features"])
-        record("ViT-S x6 (tokens only)", vfwd, preprocess_images(
-            imgs, IMAGE_HW, dtype).reshape((6,) + IMAGE_HW + (3,)))
+        xin = preprocess_images(imgs, IMAGE_HW, dtype).reshape(
+            (6,) + IMAGE_HW + (3,))
+        record("ViT-S x6 (tokens only)", vfwd, xin)
+
+        from tpu3dssf.models.vit import quantize_vit
+        qp, qcfg = quantize_vit(vp, vcfg)
+        qvit = VisionTransformer(qcfg)
+        record("ViT-S x6 int8 (W8A8)",
+               jax.jit(lambda x: qvit.apply(qp, x)["patch_features"]),
+               xin)
 
     pts = jnp.asarray(np.concatenate(
         [rng.normal(size=(1, POINT_CAP, 3)) * 20,
