@@ -1,0 +1,129 @@
+"""Ablation: where do the ~14us per (window, head) go in window attention?
+
+Variants (timing only; some are numerically wrong on purpose):
+  full        production math (matmul + bias + max + exp + sum + PV)
+  noexp       exp replaced by identity (measures exp cost)
+  nomax       skip the max pass (clamp-free; scores are bounded at D=16)
+  nosoftmax   matmuls only (s -> PV directly)
+  copy        q -> o passthrough (DMA + grid overhead floor)
+  schraud     Schraudolph-style fast exp2 via bit manipulation
+
+Run bare on the TPU: python scripts/exp_attn_ablate.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+
+from tpu3dssf.utils.timing import time_device
+
+_NEG = -1e9
+_LOG2E = 1.4426950408889634
+
+
+def make_kernel(H, mode):
+    def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        bias = bias_ref[0, 0]
+
+        def body(h, _):
+            q = q_ref[0, h]
+            k = k_ref[0, h]
+            v = v_ref[0, h]
+            if mode == "copy":
+                o_ref[0, h] = q
+                return 0
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + bias[None, :]
+            if mode == "nosoftmax":
+                e = s
+                denom = jnp.float32(1.0)
+            elif mode == "noexp":
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = s - m
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+            elif mode == "nomax":
+                e = jnp.exp(s)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+            elif mode == "schraud":
+                # exp(s) ~= 2**(s*log2e): pack exponent+mantissa by int
+                # arithmetic; ~3 VPU ops instead of the exp polynomial.
+                x = s * _LOG2E
+                xi = (x * (1 << 23) + (127.0 * (1 << 23) - 366000.0))
+                e = jax.lax.bitcast_convert_type(
+                    jnp.maximum(xi, 0.0).astype(jnp.int32), jnp.float32)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+            else:  # full
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[0, h] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, H, body, 0)
+    return kernel
+
+
+def run_mode(q, k, v, key_mask, mode):
+    W, K, H, D = q.shape
+    q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
+    bias = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+
+    def whkd(x):
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    spec = pl.BlockSpec((1, H, K, D), lambda w: (w, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        make_kernel(H, mode),
+        out_shape=jax.ShapeDtypeStruct((W, H, K, D), q.dtype),
+        grid=(W,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, 1, K), lambda w: (w, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+    )(whkd(q), whkd(k), whkd(v), bias)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print(f"backend: {jax.devices()}")
+    W, K, H, D = 7, 1024, 8, 16   # s2 shape: 56 (w,h) pairs
+    q, k, v = (jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((W, K)) < 0.97)
+
+    base = None
+    for mode in ["copy", "nosoftmax", "noexp", "nomax", "schraud", "full"]:
+        t = time_device(lambda *a: run_mode(*a, mode), q, k, v, mask,
+                        iters=50)
+        us_pair = t * 1e6 / (W * H)
+        print(f"  {mode:10s} {t*1e6:8.1f} us total  {us_pair:6.2f} us/pair")
+        if mode == "full":
+            base = t
+
+    # accuracy of schraud vs full on the final bf16 output
+    a = np.asarray(jax.jit(lambda *x: run_mode(*x, "full"))(
+        q, k, v, mask), np.float32)
+    b = np.asarray(jax.jit(lambda *x: run_mode(*x, "schraud"))(
+        q, k, v, mask), np.float32)
+    print(f"  schraud-vs-full maxerr: {np.abs(a-b).max():.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,15 +27,23 @@ def _live_sum(tree) -> jax.Array:
 
 
 def time_device(fn: Callable, *args, iters: int = 10,
-                warmup: bool = True) -> float:
+                warmup: bool = True, repeats: int = 2) -> float:
     """Seconds per call of ``fn(*args)``, measured device-side.
 
-    The perturbation of the carry into the first argument prevents XLA
-    from hoisting the body out of the loop.
+    Runs the body N times inside one jitted ``fori_loop`` (carry
+    perturbation of every input defeats hoisting), then derives the
+    per-call time from the SLOPE between two trip counts (``iters`` and
+    ``4*iters``): wall(n) = F + n*t, so t = Δwall/Δn. The fixed term F
+    (dispatch RTT + fetch, ~25-30 ms on the tunneled transport) cancels
+    exactly — a single-point wall/n estimate overstates sub-ms kernels
+    by F/n, which at iters=20 is a +1.4 ms phantom per call.
+
+    For µs-scale kernels pass ``iters`` ≥ 100 so RTT jitter (~±1 ms over
+    ``3*iters`` extra calls) stays small against the slope.
     """
 
     @jax.jit
-    def run(*a):
+    def run(n, *a):
         def body(i, acc):
             # make EVERY numeric input depend on the carry (add zero) —
             # otherwise XLA hoists any branch fed only by loop-invariant
@@ -49,13 +57,21 @@ def time_device(fn: Callable, *args, iters: int = 10,
             out = fn(*[perturb(x) for x in a])
             return acc + _live_sum(out)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     if warmup:
-        float(run(*args))  # compile + one timed run
-    t0 = time.perf_counter()
-    float(run(*args))      # scalar fetch forces full completion
-    return (time.perf_counter() - t0) / iters
+        float(run(jnp.int32(1), *args))  # one compile (n is traced)
+
+    def wall(n):
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            float(run(jnp.int32(n), *args))  # scalar fetch = completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = iters, 4 * iters
+    return max(wall(n2) - wall(n1), 0.0) / (n2 - n1)
 
 
 def measure_efficiency(func, *args, **kwargs):
