@@ -78,6 +78,69 @@ def main():
     print(f"encoder attn sum (depth-weighted)  {total_attn:.2f} ms")
     print(f"encoder block sum (depth-weighted) {total_blk:.2f} ms")
 
+    # ---- the glue: pooling / unpooling / CPE / MLP per stage ----
+    from tpu3dssf.models.ptv3 import (SerializedPooling,
+                                      SerializedUnpooling)
+    import flax.linen as nn
+
+    for s in range(1, 5):
+        N_in, C_in = caps[s - 1], cfg.enc_channels[s - 1]
+        N_out, C_out = caps[s], cfg.enc_channels[s]
+        x = jnp.asarray(rng.normal(size=(1, N_in, C_in)) * 0.1, dtype)
+        grid = jnp.sort(jnp.asarray(
+            rng.integers(0, 512, (1, N_in, 3)), jnp.int32), axis=1)
+        mask = jnp.ones((1, N_in), bool)
+        pool = SerializedPooling(C_out, N_out, presorted=True, dtype=dtype)
+        pp = jax.jit(pool.init)(jax.random.PRNGKey(0), x, grid, mask)
+        tb(f"pool{s} {N_in}->{N_out} C={C_out}",
+           jax.jit(lambda a, g, m: pool.apply(pp, a, g, m)[0]),
+           x, grid, mask)
+
+    for d in range(4):
+        N_f, C_f = caps[d], cfg.dec_channels[d]
+        N_c = caps[d + 1]
+        C_c = cfg.enc_channels[d + 1] if d == 3 else cfg.dec_channels[d + 1]
+        xc = jnp.asarray(rng.normal(size=(1, N_c, C_c)) * 0.1, dtype)
+        sk = jnp.asarray(
+            rng.normal(size=(1, N_f, cfg.enc_channels[d])) * 0.1, dtype)
+        parent = jnp.asarray(
+            rng.integers(0, N_c, (1, N_f)), jnp.int32)
+        pok = jnp.ones((1, N_f), bool)
+        mf = jnp.ones((1, N_f), bool)
+        up = SerializedUnpooling(C_f, dtype=dtype)
+        upp = jax.jit(up.init)(jax.random.PRNGKey(0), xc, sk, parent,
+                               pok, mf)
+        tb(f"unpool{d} {N_c}->{N_f} C={C_f}",
+           jax.jit(lambda a, b, p, o, m: up.apply(upp, a, b, p, o, m)),
+           xc, sk, parent, pok, mf)
+
+    # CPE alone and MLP alone at s0 / s3 shapes
+    for s in (0, 3):
+        N, C = caps[s], cfg.enc_channels[s]
+        x = jnp.asarray(rng.normal(size=(1, N, C)) * 0.1, dtype)
+        mask = jnp.ones((1, N), bool)
+        cpe = SerializedCPE(C, dtype=dtype)
+        cp = jax.jit(cpe.init)(jax.random.PRNGKey(0), x, None, None, mask)
+        tb(f"s{s} CPE (dwconv+dense) N={N} C={C}",
+           jax.jit(lambda a, m: cpe.apply(cp, a, None, None, m)), x, mask)
+
+        mlp_in = nn.Dense(int(C * 4), dtype=dtype)
+        mi = jax.jit(mlp_in.init)(jax.random.PRNGKey(0), x)
+        tb(f"s{s} MLP denses N={N} C={C}",
+           jax.jit(lambda a: mlp_in.apply(mi, a)), x)
+
+    # full model for cross-check
+    from tpu3dssf.models.ptv3 import PointTransformerV3
+    import dataclasses
+    model = PointTransformerV3(dataclasses.replace(cfg, dtype=dtype))
+    feat = jnp.asarray(rng.normal(size=(1, caps[0], 4)), dtype)
+    grid = jnp.asarray(rng.integers(0, 512, (1, caps[0], 3)), jnp.int32)
+    mask = jnp.ones((1, caps[0]), bool)
+    mp = jax.jit(model.init)(jax.random.PRNGKey(0), feat, grid, mask)
+    tb("FULL PTv3 (25.6k)",
+       jax.jit(lambda f, g, m: model.apply(mp, f, g, m)[0]),
+       feat, grid, mask, iters=20)
+
 
 if __name__ == "__main__":
     main()

@@ -178,3 +178,53 @@ def test_flash_packed_matches_reference_and_grads(rng):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dpacked), np.asarray(wdp),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_packed_rope_in_kernel(rng):
+    """In-kernel RoPE + q-scale (the ViT fast path) vs rotating with
+    _apply_rope outside and calling the jnp reference — forward and
+    backward. Prefix rows carry identity rotations."""
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  mha_reference)
+    from tpu3dssf.models.vit import _apply_rope
+
+    B, N, H, D = 2, 32, 2, 8
+    C = H * D
+    D2 = D // 2
+    n_pre = 3
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)), jnp.float32)
+    bias = jnp.zeros((B, 1, N)).at[:, :, -6:].set(-1e9)
+    g = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    angles = jnp.asarray(rng.uniform(-3, 3, size=(N - n_pre - 6, D2)),
+                         jnp.float32)
+    # identity rows for prefix and the 6 masked/padded tail slots
+    cos = jnp.concatenate([jnp.ones((n_pre, D2)), jnp.cos(angles),
+                           jnp.ones((6, D2))])
+    sin = jnp.concatenate([jnp.zeros((n_pre, D2)), jnp.sin(angles),
+                           jnp.zeros((6, D2))])
+    scale = 1.0 / (D ** 0.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(
+            lambda p: flash_attention_packed(p, bias, H, 16, cos, sin,
+                                             scale), qkv)
+        (dqkv,) = vjp(g)
+
+    def ref(p):
+        q = p[..., :C].reshape(B, N, H, D)
+        k = p[..., C:2 * C].reshape(B, N, H, D)
+        v = p[..., 2 * C:].reshape(B, N, H, D)
+        # same rotation, materialized outside (angles only cover the
+        # rotated span; _apply_rope passes the prefix through)
+        q = _apply_rope(q, jnp.concatenate(
+            [angles, jnp.zeros((6, D2))]), n_pre)
+        k = _apply_rope(k, jnp.concatenate(
+            [angles, jnp.zeros((6, D2))]), n_pre)
+        return mha_reference(q, k, v, bias).reshape(B, N, C)
+
+    want, wvjp = jax.vjp(ref, qkv)
+    (wdq,) = wvjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(wdq),
+                               atol=1e-5, rtol=1e-5)

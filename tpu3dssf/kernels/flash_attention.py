@@ -189,23 +189,66 @@ def _flash_bwd_call(qs, k, v, bias, g, block_q):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _packed_kernel(heads, qkv_q_ref, k_ref, v_ref, bias_ref, o_ref):
+def pick_block_q(n_padded: int) -> int:
+    """Largest q-block ≤ 384 (multiple of 8) dividing the padded length.
+
+    Lets callers pad to the next 128-multiple instead of a fixed
+    256-multiple: at DINOv3 geometry (2845 tokens) that is 2944 instead
+    of 3072 — 8% fewer attention FLOPs."""
+    for b in range(384, 127, -8):
+        if n_padded % b == 0:
+            return b
+    return 128
+
+
+def _rot_halves(x1, x2, cos, sin):
+    """Rotate the (x1, x2) half-pair by (cos, sin); returns the pair."""
+    return x1 * cos - x2 * sin, x1 * sin + x2 * cos
+
+
+def _packed_kernel(heads, q_scale, use_rope, qkv_q_ref, k_ref, v_ref,
+                   bias_ref, *rope_refs_and_out):
     """Packed-layout flash attention: everything stays (rows, C).
 
-    qkv_q_ref: (1, Bq, C) — this q-block's channels (pre-scaled);
-    k_ref/v_ref: (1, N, C) — the SAME qkv array, channel-offset blocks;
-    o_ref: (1, Bq, C). Heads are a static unrolled loop over 64-wide
-    channel slices, so no (B,H,N,D) transposes exist anywhere and only
-    one head's (Bq, N) score matrix is live at a time.
+    qkv_q_ref: (1, Bq, C) — this q-block's channels; k_ref/v_ref:
+    (1, N, C) — the SAME qkv array, channel-offset blocks; o_ref:
+    (1, Bq, C). Heads are a static unrolled loop over D-wide channel
+    slices, so no (B,H,N,D) transposes exist anywhere and only one
+    head's (Bq, N) score matrix is live at a time.
+
+    When ``use_rope``, rope_refs are (cos_q, sin_q, cos_k, sin_k) with
+    q blocks (Bq, D/2) and k blocks (N, D/2); q/k head slices are
+    rotated IN VMEM — the model never materializes a (B, N, H, D)
+    intermediate (whose trailing-(H, D) tile padding used to inflate
+    every per-layer RoPE pass ~2.7x in HBM). ``q_scale`` (static) is
+    folded into the same VPU pass.
     """
+    if use_rope:
+        cq_ref, sq_ref, ck_ref, sk_ref, o_ref = rope_refs_and_out
+    else:
+        (o_ref,) = rope_refs_and_out
     bias = bias_ref[0, 0][None, :]
     C = o_ref.shape[-1]
     D = C // heads
+    D2 = D // 2
     for h in range(heads):
-        sl = slice(h * D, (h + 1) * D)
-        q = qkv_q_ref[0, :, sl]                       # (Bq, D)
-        k = k_ref[0, :, sl]                           # (N, D)
-        v = v_ref[0, :, sl]
+        lo = h * D
+        q = qkv_q_ref[0, :, lo:lo + D]                # (Bq, D)
+        k = k_ref[0, :, lo:lo + D]                    # (N, D)
+        v = v_ref[0, :, lo:lo + D]
+        if use_rope:
+            # scale folded into the f32 rotation pass
+            q1, q2 = _rot_halves(
+                q[:, :D2].astype(jnp.float32) * q_scale,
+                q[:, D2:].astype(jnp.float32) * q_scale,
+                cq_ref[...], sq_ref[...])
+            q = jnp.concatenate([q1, q2], axis=-1).astype(v.dtype)
+            k1, k2 = _rot_halves(
+                k[:, :D2].astype(jnp.float32), k[:, D2:].astype(jnp.float32),
+                ck_ref[...], sk_ref[...])
+            k = jnp.concatenate([k1, k2], axis=-1).astype(v.dtype)
+        else:
+            q = q * jnp.asarray(q_scale, q.dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # (Bq, N)
@@ -215,24 +258,33 @@ def _packed_kernel(heads, qkv_q_ref, k_ref, v_ref, bias_ref, o_ref):
         denom = jnp.sum(e, axis=-1, keepdims=True)
         o = jnp.dot(e.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = (o / jnp.maximum(denom, 1e-20)).astype(
+        o_ref[0, :, lo:lo + D] = (o / jnp.maximum(denom, 1e-20)).astype(
             o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 6))
+def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
+                           rope_cos=None, rope_sin=None, q_scale=None):
     """MHA straight off the qkv projection: (B, N, 3C) → (B, N, C).
 
     N must already be a multiple of ``block_q`` (the ViT pads its token
     sequence once) and ``key_bias`` (B, 1, N) must mask padded keys.
-    The q channels [0, C) must be PRE-SCALED by 1/sqrt(D) — callers fold
-    the softmax scale into the qkv kernel's q columns, so not even that
-    multiply runs per token.
+
+    ``q_scale=None`` means the q channels [0, C) arrive PRE-SCALED by
+    1/sqrt(D); pass the scale explicitly to fold it into the kernel's
+    rotation/load pass instead.
+
+    ``rope_cos``/``rope_sin`` (N, D/2) apply axial RoPE to q and k
+    inside the kernel (same angles for every head, HF DINOv3
+    semantics); rows for prefix/padded tokens must be (1, 0) identity
+    rotations. They are treated as CONSTANTS by the backward pass
+    (zero gradient) — positions are not trainable here.
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
     nq = N // block_q
     bias = key_bias.astype(jnp.float32)
+    use_rope = rope_cos is not None
 
     def cspec(which, rows):
         if rows == N:  # full-sequence k/v block, channel-offset `which`
@@ -241,52 +293,104 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q):
         return pl.BlockSpec((1, rows, C), lambda b, i, w=which: (b, i, w),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        cspec(0, block_q),   # q block
+        cspec(1, N),         # all keys
+        cspec(2, N),         # all values
+        pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qkv, qkv, qkv, bias]
+    if use_rope:
+        D2 = (C // heads) // 2
+        cs = rope_cos.astype(jnp.float32)
+        sn = rope_sin.astype(jnp.float32)
+        in_specs += [
+            pl.BlockSpec((block_q, D2), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, D2), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D2), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D2), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [cs, sn, cs, sn]
+
     return pl.pallas_call(
-        functools.partial(_packed_kernel, heads),
+        functools.partial(_packed_kernel, heads,
+                          1.0 if q_scale is None else q_scale, use_rope),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         grid=(B, nq),
-        in_specs=[
-            cspec(0, block_q),   # q block
-            cspec(1, N),         # all keys
-            cspec(2, N),         # all values
-            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=_COMPILER_PARAMS,
-    )(qkv, qkv, qkv, bias)
+    )(*operands)
 
 
-def _fap_fwd(qkv, key_bias, heads, block_q):
-    return (flash_attention_packed(qkv, key_bias, heads, block_q),
-            (qkv, key_bias))
+def _fap_fwd(qkv, key_bias, heads, block_q, rope_cos, rope_sin, q_scale):
+    return (flash_attention_packed(qkv, key_bias, heads, block_q,
+                                   rope_cos, rope_sin, q_scale),
+            (qkv, key_bias, rope_cos, rope_sin))
 
 
-def _fap_bwd(heads, block_q, res, g):
+def _fap_bwd(heads, block_q, q_scale, res, g):
     """Backward via the (B,H,N,D) Pallas backward — the layout shuffles
-    only run when the ViT is actually being fine-tuned."""
-    qkv, key_bias = res
+    only run when the ViT is actually being fine-tuned.
+
+    RoPE/scale handling: forward computes attn(s·R(q), R(k), v), so
+    dL/dq = s·Rᵀ(dL/d[s·Rq]) and dL/dk = Rᵀ(dL/d[Rk]) — the grads are
+    inverse-rotated before repacking. rope_cos/rope_sin get ZERO grads
+    (documented constants).
+    """
+    qkv, key_bias, rope_cos, rope_sin = res
     B, N, C3 = qkv.shape
     C = C3 // 3
     D = C // heads
+    scale = 1.0 if q_scale is None else q_scale
 
     def split(x, j):
         return x[..., j * C:(j + 1) * C].reshape(B, N, heads, D)
 
-    # q arrives pre-scaled (the caller folded 1/sqrt(D) into the qkv
-    # kernel), so the plain bhnd layout here needs NO extra scale
-    qs, k, v = (jnp.transpose(split(qkv, j), (0, 2, 1, 3))
-                for j in range(3))
-    gq = jnp.transpose(g.reshape(B, N, heads, D), (0, 2, 1, 3))
-    dq, dk, dv = _flash_bwd_call(qs, k, v, key_bias.astype(jnp.float32),
-                                 gq, block_q)
+    def rot4(x, inverse=False):
+        if rope_cos is None:
+            return x
+        cos = rope_cos[None, :, None, :].astype(jnp.float32)
+        sin = rope_sin[None, :, None, :].astype(jnp.float32)
+        if inverse:
+            sin = -sin
+        D2 = D // 2
+        x1 = x[..., :D2].astype(jnp.float32)
+        x2 = x[..., D2:].astype(jnp.float32)
+        r1, r2 = _rot_halves(x1, x2, cos, sin)
+        return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+
+    q, k, v = (split(qkv, j) for j in range(3))
+    qs = rot4(q) * jnp.asarray(scale, q.dtype)
+    kr = rot4(k)
+
+    def bhnd(x):
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    gq = bhnd(g.reshape(B, N, heads, D))
+    dqs, dkr, dv = _flash_bwd_call(bhnd(qs), bhnd(kr), bhnd(v),
+                                   key_bias.astype(jnp.float32), gq,
+                                   block_q)
 
     def back(x):
-        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, N, C)
+        return jnp.transpose(x, (0, 2, 1, 3))
 
-    dqkv = jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1)
-    return dqkv, jnp.zeros_like(key_bias)
+    dq = rot4(back(dqs), inverse=True) * jnp.asarray(scale, qkv.dtype)
+    dk = rot4(back(dkr), inverse=True)
+
+    def flat(x):
+        return x.reshape(B, N, C)
+
+    dqkv = jnp.concatenate([flat(dq), flat(dk), flat(back(dv))], axis=-1)
+    dcos = None if rope_cos is None else jnp.zeros_like(rope_cos)
+    dsin = None if rope_sin is None else jnp.zeros_like(rope_sin)
+    return dqkv, jnp.zeros_like(key_bias), dcos, dsin
 
 
 flash_attention_packed.defvjp(_fap_fwd, _fap_bwd)

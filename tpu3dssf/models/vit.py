@@ -206,9 +206,12 @@ class ViTBlock(nn.Module):
         if cfg.use_flash:
             # packed path: qkv stays (B, N, 3C) end to end — rope via a
             # free trailing-dim reshape, heads sliced inside the kernel,
-            # zero transposes (PERF.md round-1 item 1)
+            # zero transposes. (Measured: rotating q/k INSIDE the kernel
+            # instead is 2.6x slower — per-grid-step lane-slice
+            # relayouts swamp the saved HBM traffic, see
+            # scripts/time_vit_parts.py — so RoPE stays out here.)
             from tpu3dssf.kernels.flash_attention import (
-                flash_attention_packed)
+                flash_attention_packed, pick_block_q)
             q = qkv[..., :C].reshape(B, N, H, D)
             k = qkv[..., C:2 * C].reshape(B, N, H, D)
             if cfg.use_rope and rope_angles is not None:
@@ -220,7 +223,8 @@ class ViTBlock(nn.Module):
                  qkv[..., 2 * C:]], axis=-1)
             bias = (key_bias if key_bias is not None
                     else jnp.zeros((B, 1, N), jnp.float32))
-            out = flash_attention_packed(packed, bias, H, 256)
+            out = flash_attention_packed(packed, bias, H,
+                                         pick_block_q(N))
         else:
             qkv = qkv.reshape(B, N, 3, H, D)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -291,7 +295,10 @@ class VisionTransformer(nn.Module):
         key_bias = None
         N = x.shape[1]
         if cfg.use_flash:
-            Np = ((N + 255) // 256) * 256
+            # pad to the next 128-multiple (pick_block_q finds a q-block
+            # dividing it): DINOv3's 2845 tokens pad to 2944, not 3072 —
+            # 8% fewer attention FLOPs than a fixed 256-multiple
+            Np = ((N + 127) // 128) * 128
             if Np != N:
                 x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
                 key_bias = jnp.zeros((B, 1, Np), jnp.float32).at[
