@@ -180,3 +180,51 @@ def test_capacity_schedule():
     assert caps[0] == 32768
     assert all(c % w == 0 for c, w in zip(caps, cfg.enc_window))
     assert all(caps[i] >= caps[i + 1] for i in range(len(caps) - 1))
+
+
+def test_sorted_pool_run_max_matches_segment_max(rng):
+    """The presorted pooling path (shifted run-max + end-pos gather)
+    must equal a plain segment_max oracle on UNIQUE sorted cells (the
+    model invariant: each fine slot is a distinct cell, so a coarse
+    cell has <= 8 contiguous children)."""
+    from tpu3dssf.models.ptv3 import (_pool_structure_sorted,
+                                      _run_max_sorted)
+
+    # unique 3D cells in HIERARCHICAL-curve (Morton) order — the model
+    # invariant: the stream is sorted along a space-filling curve, so
+    # points of one coarse cell are contiguous — with a masked tail
+    from tpu3dssf.serialization import serialization_keys, argsort_lex
+    cells = rng.choice(10 ** 3, size=48, replace=False)
+    grid = np.stack([cells // 100, (cells // 10) % 10, cells % 10],
+                    axis=-1).astype(np.int32)[None]
+    mask = np.ones((1, 48), bool)
+    hi, lo = serialization_keys(jnp.asarray(grid[0]), "z")
+    zperm = np.asarray(argsort_lex(hi, lo, jnp.asarray(mask[0])))
+    grid = grid[:, zperm]
+    mask[:, 44:] = False
+    out_cap = 32
+
+    seg, grid_out, mask_out, parent, ok, end_pos = jax.jit(
+        lambda g, m: _pool_structure_sorted(g, m, out_cap))(
+            jnp.asarray(grid), jnp.asarray(mask))
+    h = jnp.asarray(rng.normal(size=(1, 48, 5)), jnp.float32)
+    pooled = jax.vmap(_run_max_sorted)(h, seg, end_pos)
+
+    # numpy oracle
+    segn = np.asarray(seg)[0]
+    hn = np.asarray(h)[0]
+    okn = np.asarray(ok)[0]
+    want = np.full((out_cap, 5), -np.inf)
+    for i in range(48):
+        if okn[i]:
+            want[segn[i]] = np.maximum(want[segn[i]], hn[i])
+    got = np.asarray(pooled)[0]
+    mo = np.asarray(mask_out)[0]
+    np.testing.assert_allclose(got[mo], want[mo], rtol=1e-6)
+    # structural invariants: occupied slots are a prefix; parents map
+    # to matching coarse coords
+    assert mo.sum() == len({tuple(c) for c in (grid[0] >> 1)[okn]})
+    coarse = grid[0] >> 1
+    gn = np.asarray(grid_out)[0]
+    pn = np.asarray(parent)[0]
+    np.testing.assert_array_equal(gn[pn[okn]], coarse[okn])

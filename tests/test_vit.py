@@ -189,3 +189,27 @@ def test_quantize_vit_int8_grid_is_used(rng):
     q = qparams["params"]["block0"]["qkv"]
     rec = np.asarray(q["kernel_q"], np.float32) * np.asarray(q["scale"])
     assert np.abs(rec - w).max() <= (np.abs(w).max(0) / 127.0 + 1e-9).max()
+
+
+def test_preprocess_matmul_matches_jax_image_resize():
+    """The MXU matmul resize must reproduce jax.image.resize exactly
+    (f32): the weight matrices are built by resizing the identity."""
+    from tpu3dssf.models.vit import (preprocess_images, IMAGENET_MEAN,
+                                     IMAGENET_STD)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((2, 37, 53, 3)), jnp.float32)
+    got = preprocess_images(imgs, (20, 31), jnp.float32)
+    want = jax.image.resize(imgs, (2, 20, 31, 3), method="bilinear")
+    want = (want - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # uint8 path + upsampling direction
+    imgs8 = (np.asarray(imgs[..., :]) * 255).astype(np.uint8)
+    got8 = preprocess_images(jnp.asarray(imgs8), (41, 60), jnp.float32)
+    want8 = jax.image.resize(jnp.asarray(imgs8, jnp.float32) / 255.0,
+                             (2, 41, 60, 3), method="bilinear")
+    want8 = (want8 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+        IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(want8),
+                               atol=1e-5, rtol=1e-5)

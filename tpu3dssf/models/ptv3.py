@@ -125,13 +125,19 @@ def _pool_structure_sorted(grid, mask, out_cap):
 
     The stream spends each stage in its CPE curve order (hierarchical ⇒
     points of one coarse cell are contiguous), so the pooling sort AND
-    the parent scatter both collapse to identity.
+    the parent scatter both collapse to identity. Because every fine
+    slot is a distinct cell, a coarse cell has ≤ 8 children — runs are
+    short contiguous spans, which `_run_max_sorted` exploits to avoid
+    (N, C) scatter-max entirely.
 
-    Returns (seg, grid_out, mask_out, parent, parent_ok) — parent maps
-    each SORTED fine point to its coarse vid slot.
+    Returns (seg, grid_out, mask_out, parent, parent_ok, end_pos) —
+    parent maps each SORTED fine point to its coarse vid slot; end_pos
+    (out_cap,) is the sorted index of each cell's last member (gather
+    site for pooled values; 0-clamped on empty slots).
     """
 
     def one(g, m):
+        n = g.shape[0]
         coarse = g >> 1
         diff = jnp.any(coarse[1:] != coarse[:-1], axis=-1)
         new = jnp.concatenate([
@@ -140,18 +146,43 @@ def _pool_structure_sorted(grid, mask, out_cap):
         vid = jnp.cumsum(new) - 1
         ok = m & (vid >= 0) & (vid < out_cap)
         seg = jnp.where(ok, vid, out_cap)
-        grid_out = jax.ops.segment_max(
-            jnp.where(ok[:, None], coarse, _INT_MIN), seg,
-            num_segments=out_cap + 1, indices_are_sorted=False)[:out_cap]
-        count = jax.ops.segment_sum(
-            ok.astype(jnp.int32), seg,
-            num_segments=out_cap + 1, indices_are_sorted=False)[:out_cap]
-        mask_out = count > 0
-        grid_out = jnp.where(mask_out[:, None], grid_out, 0)
+        # cells are numbered contiguously 0..V-1, so occupancy is a
+        # prefix: no segment_sum needed for the output mask
+        num_cells = jnp.sum(new)
+        mask_out = (jnp.arange(out_cap, dtype=jnp.int32)
+                    < jnp.minimum(num_cells, out_cap))
+        # last member of each cell: a 1-wide int scatter-max (64x less
+        # data than the old (N, C) float segment_max)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        end_pos = jnp.full((out_cap + 1,), -1, jnp.int32).at[seg].max(
+            jnp.where(ok, idx, -1), mode="drop")[:out_cap]
+        end_pos = jnp.clip(end_pos, 0, n - 1)
+        grid_out = jnp.where(mask_out[:, None], coarse[end_pos], 0)
         parent = jnp.clip(vid, 0, out_cap - 1).astype(jnp.int32)
-        return seg, grid_out, mask_out, parent, ok
+        return seg, grid_out, mask_out, parent, ok, end_pos
 
     return jax.vmap(one)(grid, mask)
+
+
+def _run_max_sorted(h, seg, end_pos, max_run=8):
+    """Per-cell max for SORTED features whose cells are contiguous runs
+    of ≤ ``max_run`` elements: log2(max_run) shifted elementwise maxima
+    propagate each run's max to its last element, then one gather at
+    ``end_pos`` reads it out — no (N, C) scatter.
+
+    h: (N, C) float; seg: (N,) int (same-cell ⇔ equal value);
+    end_pos: (V,) int. Returns (V, C) in h's dtype.
+    """
+    y = h
+    shift = 1
+    while shift < max_run:
+        same = (seg[shift:] == seg[:-shift])[:, None]
+        prev = y[:-shift]
+        y = jnp.concatenate(
+            [y[:shift], jnp.where(same, jnp.maximum(y[shift:], prev),
+                                  y[shift:])])
+        shift *= 2
+    return y[end_pos]
 
 
 def _pool_structure(grid, mask, out_cap, perm=None):
@@ -340,32 +371,33 @@ class SerializedPooling(nn.Module):
     @nn.compact
     def __call__(self, x, grid, mask, perm=None):
         if self.presorted:
-            seg_s, grid_out, mask_out, parent, parent_ok = \
+            seg_s, grid_out, mask_out, parent, parent_ok, end_pos = \
                 _pool_structure_sorted(grid, mask, self.out_cap)
-            order = None
+            h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
+            # contiguous ≤8-element runs: shifted maxima + one gather,
+            # no (N, C) scatter-max and no "empty" sentinel at all
+            pooled = jax.vmap(
+                lambda hh, ss, ep: _run_max_sorted(
+                    hh.astype(jnp.float32), ss, ep))(h, seg_s, end_pos)
         else:
             seg_s, order, grid_out, mask_out, parent, parent_ok = \
                 _pool_structure(grid, mask, self.out_cap, perm)
-        h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
-        # "empty segment" sentinel for the max-pool. Must stay far from
-        # f32 overflow: a sentinel near -finfo.max that leaks into any
-        # later variance/square (LayerNorm) turns into inf -> NaN.
-        # Features here are O(10); -1e9 dominates any real value.
-        neg = jnp.float32(-1.0e9)
+            h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
+            # "empty segment" sentinel for the max-pool. Must stay far
+            # from f32 overflow: a sentinel near -finfo.max that leaks
+            # into any later variance/square (LayerNorm) turns into
+            # inf -> NaN. Features here are O(10); -1e9 dominates.
+            neg = jnp.float32(-1.0e9)
 
-        def pool_one(hh, od, ss):
-            hs = (hh if od is None else hh[od]).astype(jnp.float32)
-            ok = ss < self.out_cap
-            pooled = jax.ops.segment_max(
-                jnp.where(ok[:, None], hs, neg), ss,
-                num_segments=self.out_cap + 1,
-                indices_are_sorted=False)[:self.out_cap]
-            return pooled
+            def pool_one(hh, od, ss):
+                hs = hh[od].astype(jnp.float32)
+                ok = ss < self.out_cap
+                pooled = jax.ops.segment_max(
+                    jnp.where(ok[:, None], hs, neg), ss,
+                    num_segments=self.out_cap + 1,
+                    indices_are_sorted=False)[:self.out_cap]
+                return pooled
 
-        if order is None:
-            pooled = jax.vmap(lambda hh, ss: pool_one(hh, None, ss))(
-                h, seg_s)
-        else:
             pooled = jax.vmap(pool_one)(h, order, seg_s)
         pooled = jnp.where(mask_out[..., None], pooled, 0.0).astype(
             self.dtype)
