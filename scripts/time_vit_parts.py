@@ -116,6 +116,19 @@ def main():
     tb("patch embed conv", jax.jit(lambda im: emb.apply(ep, im)), imgs,
        iters=40)
 
+    # 8. ViT-L backbone (BASELINE config 5) — gated, long compile
+    if os.environ.get("BENCH_VITL") == "1":
+        from tpu3dssf.models.vit import dinov3_large
+        l_cfg = dataclasses.replace(dinov3_large(), dtype=dtype,
+                                    use_flash=True, scan_layers=True)
+        vitl = VisionTransformer(l_cfg)
+        lp = jax.jit(vitl.init)(jax.random.PRNGKey(0), imgs)
+        lp, l_cfg2 = fold_layerscale(lp, l_cfg)
+        vitl2 = VisionTransformer(l_cfg2)
+        tb("ViT-L x6 encode (scan, folded LS)",
+           jax.jit(lambda im: vitl2.apply(lp, im)["patch_features"]),
+           imgs, iters=10)
+
 
 if __name__ == "__main__":
     main()

@@ -117,3 +117,31 @@ def test_all_reference_sweep_configs_load():
         assert cfg.mlp_class == 16, path
         assert 0 < cfg.voxel_size <= 1.0, path
         assert cfg.image_encoder in ("dinov2", "dinov3"), path
+
+
+def test_image_encoder_dinov3_large_accepted(tmp_path):
+    """BASELINE config 5 wiring: the ViT-L backbone is selectable via
+    the reference's image_encoder key; unknown names still fail."""
+    import yaml
+    from tpu3dssf.config import load_config
+
+    base = {
+        "format_version": 1,
+        "dataset_params": {
+            "label_mapping": "configs/label_mapping/nuscenes.yaml",
+            "train_data_loader": {"data_path": "x", "batch_size": 1},
+            "val_data_loader": {"data_path": "x", "batch_size": 1},
+            "test_data_loader": {"data_path": "x", "batch_size": 1},
+        },
+        "train_params": {"image_encoder": "dinov3_large"},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(base))
+    cfg = load_config(str(p))
+    assert cfg.image_encoder == "dinov3_large"
+
+    base["train_params"]["image_encoder"] = "dinov9"
+    p.write_text(yaml.safe_dump(base))
+    import pytest
+    with pytest.raises(ValueError):
+        load_config(str(p))

@@ -75,7 +75,7 @@ def build_image_encoder(cfg: Config):
     import jax
     import jax.numpy as jnp
     from tpu3dssf.models.vit import (VisionTransformer, dinov2_small,
-                                     dinov3_small)
+                                     dinov3_small, dinov3_large)
     from tpu3dssf.train.loop import make_image_encode_fn
 
     if cfg.image_encoder == "none":
@@ -83,8 +83,8 @@ def build_image_encoder(cfg: Config):
 
     dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" \
         else jnp.float32
-    vit_cfg = dinov3_small() if cfg.image_encoder == "dinov3" \
-        else dinov2_small()
+    vit_cfg = {"dinov2": dinov2_small, "dinov3": dinov3_small,
+               "dinov3_large": dinov3_large}[cfg.image_encoder]()
     use_flash = cfg.tpu.use_pallas and jax.default_backend() != "cpu"
     vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype,
                                "use_flash": use_flash,

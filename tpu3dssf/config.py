@@ -28,7 +28,7 @@ import yaml
 OPTIMIZERS = ("SGD", "Adam", "AdamW")
 SCHEDULERS = ("none", "StepLR", "ReduceLROnPlateau", "CosineAnnealingLR",
               "CosineAnnealingWarmRestarts")
-IMAGE_ENCODERS = ("dinov2", "dinov3", "none")
+IMAGE_ENCODERS = ("dinov2", "dinov3", "dinov3_large", "none")
 
 
 @dataclasses.dataclass

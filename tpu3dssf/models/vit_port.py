@@ -30,6 +30,7 @@ import numpy as np
 HF_MODEL_IDS = {
     "dinov2": "facebook/dinov2-small",
     "dinov3": "facebook/dinov3-vits16-pretrain-lvd1689m",
+    "dinov3_large": "facebook/dinov3-vitl16-pretrain-lvd1689m",
 }
 
 
