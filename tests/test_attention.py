@@ -228,3 +228,28 @@ def test_flash_packed_rope_in_kernel(rng):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dqkv), np.asarray(wdq),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_packed_many_heads_scratch_path(rng):
+    """heads > 8 routes probabilities through a VMEM scratch buffer
+    (ViT-L: 16 unrolled heads otherwise blow scoped VMEM). Same
+    numerics as the reference."""
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  mha_reference)
+
+    B, N, H, D = 1, 32, 16, 4
+    C = H * D
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    bias = jnp.zeros((B, 1, N)).at[:, :, -3:].set(-1e9)
+    packed = jnp.concatenate(
+        [(q / (D ** 0.5)).reshape(B, N, C), k.reshape(B, N, C),
+         v.reshape(B, N, C)], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_packed(packed, bias, H, 16)
+
+    want = mha_reference(q, k, v, bias).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

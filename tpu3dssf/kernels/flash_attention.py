@@ -206,8 +206,8 @@ def _rot_halves(x1, x2, cos, sin):
     return x1 * cos - x2 * sin, x1 * sin + x2 * cos
 
 
-def _packed_kernel(heads, q_scale, use_rope, qkv_q_ref, k_ref, v_ref,
-                   bias_ref, *rope_refs_and_out):
+def _packed_kernel(heads, q_scale, use_rope, use_scratch, qkv_q_ref,
+                   k_ref, v_ref, bias_ref, *rope_refs_and_out):
     """Packed-layout flash attention: everything stays (rows, C).
 
     qkv_q_ref: (1, Bq, C) — this q-block's channels; k_ref/v_ref:
@@ -223,10 +223,12 @@ def _packed_kernel(heads, q_scale, use_rope, qkv_q_ref, k_ref, v_ref,
     every per-layer RoPE pass ~2.7x in HBM). ``q_scale`` (static) is
     folded into the same VPU pass.
     """
+    refs = list(rope_refs_and_out)
+    scr_ref = refs.pop() if use_scratch else None
     if use_rope:
-        cq_ref, sq_ref, ck_ref, sk_ref, o_ref = rope_refs_and_out
+        cq_ref, sq_ref, ck_ref, sk_ref, o_ref = refs
     else:
-        (o_ref,) = rope_refs_and_out
+        (o_ref,) = refs
     bias = bias_ref[0, 0][None, :]
     C = o_ref.shape[-1]
     D = C // heads
@@ -255,6 +257,13 @@ def _packed_kernel(heads, q_scale, use_rope, qkv_q_ref, k_ref, v_ref,
         s = s + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
+        if scr_ref is not None:
+            # route the (Bq, N) probabilities through ONE scratch buffer
+            # so the unrolled head loop reuses it — without this, every
+            # head's score matrix stays live and scoped VMEM blows up at
+            # many-head configs (ViT-L: 16 x 4.3 MB)
+            scr_ref[...] = e
+            e = scr_ref[...]
         denom = jnp.sum(e, axis=-1, keepdims=True)
         o = jnp.dot(e.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)
@@ -282,6 +291,10 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
+    if N % block_q:
+        raise ValueError(
+            f"flash_attention_packed: N={N} must be a multiple of "
+            f"block_q={block_q} (pad the sequence; see pick_block_q)")
     nq = N // block_q
     bias = key_bias.astype(jnp.float32)
     use_rope = rope_cos is not None
@@ -317,14 +330,18 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
         ]
         operands += [cs, sn, cs, sn]
 
+    use_scratch = heads > 8
     return pl.pallas_call(
         functools.partial(_packed_kernel, heads,
-                          1.0 if q_scale is None else q_scale, use_rope),
+                          1.0 if q_scale is None else q_scale, use_rope,
+                          use_scratch),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         grid=(B, nq),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM((block_q, N), jnp.float32)]
+                        if use_scratch else []),
         compiler_params=_COMPILER_PARAMS,
     )(*operands)
 

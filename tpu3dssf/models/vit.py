@@ -442,12 +442,15 @@ def preprocess_images(images_uint8_or_float, target_hw, dtype=jnp.float32):
     H, W = x.shape[-3], x.shape[-2]
     Ho, Wo = target_hw
     mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    # f32 requests get true-f32 matmuls (TPU default precision is
+    # bf16-grade even on f32 inputs — CLAUDE.md trap 6)
+    prec = None if mm_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     wh = _resize_matrix(H, Ho).astype(mm_dtype)
     ww = _resize_matrix(W, Wo).astype(mm_dtype)
     xb = x.reshape((-1, H, W, 3)).astype(mm_dtype)
-    y = jnp.einsum("oh,bhwc->bowc", wh, xb,
+    y = jnp.einsum("oh,bhwc->bowc", wh, xb, precision=prec,
                    preferred_element_type=jnp.float32)
-    y = jnp.einsum("pw,bowc->bopc", ww, y.astype(mm_dtype),
+    y = jnp.einsum("pw,bowc->bopc", ww, y.astype(mm_dtype), precision=prec,
                    preferred_element_type=jnp.float32)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
