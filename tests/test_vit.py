@@ -213,3 +213,25 @@ def test_preprocess_matmul_matches_jax_image_resize():
         IMAGENET_STD)
     np.testing.assert_allclose(np.asarray(got8), np.asarray(want8),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dinov3_large_preset_forward():
+    """ViT-L preset (BASELINE config 5) runs end-to-end; image size
+    reduced for CPU (the on-chip measurement is blocked by the remote
+    compile service — see PERF.md)."""
+    import dataclasses
+    from tpu3dssf.models.vit import (VisionTransformer, dinov3_large,
+                                     fold_layerscale)
+
+    cfg = dataclasses.replace(dinov3_large(), image_size=(32, 32),
+                              num_layers=2)
+    assert cfg.hidden_size == 1024 and cfg.num_heads == 16
+    assert cfg.use_rope and cfg.num_register_tokens == 4
+    vit = VisionTransformer(cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), imgs)
+    params, cfg2 = fold_layerscale(params, cfg)
+    out = VisionTransformer(cfg2).apply(params, imgs)
+    assert out["patch_features"].shape == (1, 4, 1024)
+    assert np.isfinite(np.asarray(out["patch_features"])).all()
