@@ -108,14 +108,11 @@ def main():
                for _ in range(3))
     mask = jnp.asarray(rng.random((W, K)) < 0.97)
 
-    base = None
     for mode in ["copy", "nosoftmax", "noexp", "nomax", "schraud", "full"]:
         t = time_device(lambda *a: run_mode(*a, mode), q, k, v, mask,
                         iters=50)
         us_pair = t * 1e6 / (W * H)
         print(f"  {mode:10s} {t*1e6:8.1f} us total  {us_pair:6.2f} us/pair")
-        if mode == "full":
-            base = t
 
     # accuracy of schraud vs full on the final bf16 output
     a = np.asarray(jax.jit(lambda *x: run_mode(*x, "full"))(

@@ -53,8 +53,6 @@ def main():
           f"(attn matmuls only)")
 
     # 2. RoPE application cost (q and k, one layer, as the block does it)
-    angles = _rope_angles(gh, gw, D)
-    angles = jnp.pad(angles, ((0, N - 5 - gh * gw + 5), (0, 0)))[:N - 5]
     angles_p = jnp.pad(_rope_angles(gh, gw, D), ((0, N - 5 - gh * gw),
                                                  (0, 0)))
     x4 = jnp.asarray(rng.normal(size=(B, N, H, D)) * 0.1, dtype)

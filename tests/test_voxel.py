@@ -183,3 +183,32 @@ def test_knn_pallas_matches_xla_path(rng):
                      np.asarray(r)[np.asarray(got_i)]) ** 2, -1)
         np.testing.assert_allclose(dd, np.asarray(want_d), rtol=1e-5,
                                    atol=1e-4)
+
+
+def test_voxel_coords_are_exact_member_cells(rng):
+    """voxel_coords must equal each member point's own grid cell EXACTLY
+    (no f32 re-floor of the centroid, which can round a boundary-hugging
+    centroid into the neighboring cell and emit duplicate coords —
+    breaking PTv3's unique-cell pooling invariant)."""
+    from tpu3dssf.voxel import voxelize
+
+    vs = 0.1  # inexact in f32 on purpose
+    # boundary-heavy: many points epsilon-close to cell edges
+    base = rng.integers(0, 20, size=(256, 3)).astype(np.float32) * vs
+    jitter = rng.choice(
+        [1e-7, vs - 1e-7, vs * 0.5], size=(256, 3)).astype(np.float32)
+    pts = np.concatenate([base + jitter,
+                          rng.random((256, 1)).astype(np.float32)], -1)
+    mask = np.ones((512,), bool)
+    mask[256:] = False
+    pts = np.concatenate([pts, np.zeros((256, 4), np.float32)])
+
+    res = voxelize(jnp.asarray(pts), jnp.asarray(mask), vs, 128)
+    coords = np.asarray(res.voxel_coords)
+    pv = np.asarray(res.point_voxel)
+    ok = np.asarray(res.point_ok)
+    cells = np.floor(pts[:, :3] / vs).astype(np.int32)
+    np.testing.assert_array_equal(coords[pv[ok]], cells[ok])
+    # and occupied coords are unique
+    occ = coords[np.asarray(res.voxel_mask)]
+    assert len({tuple(c) for c in occ}) == len(occ)

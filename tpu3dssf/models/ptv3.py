@@ -170,6 +170,12 @@ def _run_max_sorted(h, seg, end_pos, max_run=8):
     propagate each run's max to its last element, then one gather at
     ``end_pos`` reads it out — no (N, C) scatter.
 
+    INVARIANT: runs longer than ``max_run`` are silently truncated, so
+    every input slot must be a DISTINCT grid cell (≤ 2³ children per 2x
+    pooling). Stage 0 gets this from voxelize (voxel_coords are the
+    exact unique cell keys, never a re-floored centroid); pooled stages
+    emit one slot per coarse cell by construction.
+
     h: (N, C) float; seg: (N,) int (same-cell ⇔ equal value);
     end_pos: (V,) int. Returns (V, C) in h's dtype.
     """

@@ -132,9 +132,20 @@ def voxelize(points, point_mask, voxel_size, capacity,
         jnp.concatenate([centroid, intensity], axis=-1),
         0.0,
     )
+    # Exact cell coords via the first member point's grid row — equal to
+    # the reference's floor(centroid/voxel_size) (lidar.py:109-112) in
+    # real arithmetic (a cell's centroid lies inside the cell), but
+    # immune to f32 boundary rounding, which could re-floor a centroid
+    # into the neighboring cell and emit DUPLICATE voxel_coords.
+    # Uniqueness here is a hard invariant: PTv3's sorted-space pooling
+    # (_run_max_sorted, <=8 children per coarse cell) relies on it.
+    idx = jnp.arange(P, dtype=jnp.int32)
+    first_idx = jnp.full((capacity + 1,), P, jnp.int32).at[seg].min(
+        jnp.where(ok_s, idx, P), mode="drop")[:capacity]
+    grid_s = grid[perm]
     voxel_coords = jnp.where(
         voxel_mask[:, None],
-        jnp.floor(centroid / voxel_size).astype(jnp.int32),
+        grid_s[jnp.clip(first_idx, 0, P - 1)],
         0,
     )
     return VoxelizeResult(
