@@ -76,7 +76,12 @@ def make_train_step(loss_fn: CELSLoss, dropout_rng=None):
 
         (_, out), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
+        # value= feeds ReduceLROnPlateau (ignored by other schedulers);
+        # plain flax TrainStates (no value kwarg) still work
+        try:
+            state = state.apply_gradients(grads=grads, value=out.total)
+        except TypeError:
+            state = state.apply_gradients(grads=grads)
         metrics = {
             "loss": out.total,
             "ce": out.ce,

@@ -16,7 +16,22 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """Standard flax TrainState (params + optax state + step)."""
+    """flax TrainState whose ``apply_gradients`` can thread a loss value
+    into the optimizer (``optax.contrib.reduce_on_plateau`` requires a
+    ``value`` kwarg at every update; flax's base class never forwards
+    kwargs to ``tx.update``)."""
+
+    def apply_gradients(self, *, grads, value=None, **kwargs):
+        if value is None:
+            return super().apply_gradients(grads=grads, **kwargs)
+        # create_optimizer always wraps the chain in
+        # with_extra_args_support, so passing value is safe for every
+        # scheduler; transforms that don't consume it ignore it.
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params, value=value)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state, **kwargs)
 
 
 def create_schedule(name: str, base_lr: float, steps_per_epoch: int,
@@ -71,16 +86,21 @@ def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
     if grad_clip:
         parts.append(optax.clip_by_global_norm(grad_clip))
     parts.append(tx)
-    if lr_scheduler == "ReduceLROnPlateau":
-        parts.append(optax.contrib.reduce_on_plateau(
-            factor=0.1, patience=10))
     out = optax.chain(*parts) if len(parts) > 1 else parts[0]
     if skip_nonfinite:
         # failure containment: silently skip updates whose grads contain
         # NaN/Inf (up to 100 consecutive) instead of corrupting params —
         # the reference has no fault handling at all (SURVEY.md §5)
         out = optax.apply_if_finite(out, max_consecutive_errors=100)
-    return out
+    if lr_scheduler == "ReduceLROnPlateau":
+        # chained OUTSIDE apply_if_finite: that wrapper's update doesn't
+        # forward extra args, and reduce_on_plateau *requires* ``value``
+        out = optax.chain(optax.with_extra_args_support(out),
+                          optax.contrib.reduce_on_plateau(
+                              factor=0.1, patience=10))
+    # the train step always passes value= (TrainState.apply_gradients);
+    # make every chain accept-and-ignore it
+    return optax.with_extra_args_support(out)
 
 
 def create_train_state(model, params, optimizer) -> TrainState:
