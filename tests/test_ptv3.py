@@ -228,3 +228,75 @@ def test_sorted_pool_run_max_matches_segment_max(rng):
     gn = np.asarray(grid_out)[0]
     pn = np.asarray(parent)[0]
     np.testing.assert_array_equal(gn[pn[okn]], coarse[okn])
+
+
+def test_pooling_duplicate_cells_exact_with_unique_cells_false(rng):
+    """Raw (non-voxelized) grid coords can repeat a cell >8 times; the
+    run-max fast path silently truncates such runs (documented
+    invariant), so unique_cells=False must route the first pooling
+    through an exact segment_max. This test builds a 12-long duplicate
+    run whose max sits at the run head — exactly the case run-max
+    loses — and checks the exact path against a numpy oracle."""
+    from tpu3dssf.models.ptv3 import SerializedPooling
+    from tpu3dssf.serialization import serialization_keys, argsort_lex
+
+    N, out_cap = 48, 32
+    cells = rng.choice(10 ** 3, size=N - 11, replace=False)
+    grid = np.stack([cells // 100, (cells // 10) % 10, cells % 10],
+                    axis=-1).astype(np.int32)
+    # duplicate the first cell 12x (one run of 12 after sorting)
+    grid = np.concatenate([np.repeat(grid[:1], 12, axis=0), grid[1:]])[None]
+    mask = np.ones((1, N), bool)
+    hi, lo = serialization_keys(jnp.asarray(grid[0]), "z")
+    zperm = np.asarray(argsort_lex(hi, lo, jnp.asarray(mask[0])))
+    grid = grid[:, zperm]
+
+    h = jnp.asarray(rng.normal(size=(1, N, 5)), jnp.float32)
+    pool = SerializedPooling(5, out_cap, presorted=True,
+                             unique_cells=False)
+    params = pool.init(jax.random.PRNGKey(0), h, jnp.asarray(grid),
+                       jnp.asarray(mask))
+    # identity-project so pooled values ARE the segment maxima
+    params = jax.tree.map(lambda x: x, params)
+    params["params"]["proj"]["kernel"] = jnp.eye(5)
+    params["params"]["proj"]["bias"] = jnp.zeros(5)
+    pooled, grid_out, mask_out, parent, parent_ok = pool.apply(
+        params, h, jnp.asarray(grid), jnp.asarray(mask))
+
+    # numpy oracle over coarse cells (pre-norm: recompute the pool's
+    # segment max by re-deriving segments from contiguous coarse runs)
+    coarse = np.asarray(grid)[0] >> 1
+    seg = np.zeros(N, np.int64)
+    for i in range(1, N):
+        seg[i] = seg[i - 1] + (tuple(coarse[i]) != tuple(coarse[i - 1]))
+    hn = np.asarray(h)[0]
+    want = np.full((int(seg[-1]) + 1, 5), -np.inf)
+    for i in range(N):
+        want[seg[i]] = np.maximum(want[seg[i]], hn[i])
+
+    # compare against the raw segment max the module should have used:
+    # re-apply its norm+gelu to the oracle
+    import flax.linen as nn
+    ln = params["params"]["norm"]
+    mo = np.asarray(mask_out)[0]
+    want = want[:mo.sum()]  # cells beyond capacity are dropped
+    normed = nn.LayerNorm().apply({"params": ln}, jnp.asarray(want))
+    want_out = np.asarray(nn.gelu(normed))
+    np.testing.assert_allclose(np.asarray(pooled)[0][mo], want_out,
+                               rtol=2e-5, atol=2e-6)
+
+    # and prove the guard matters: the run-max path differs here
+    pool_fast = SerializedPooling(5, out_cap, presorted=True,
+                                  unique_cells=True)
+    pooled_fast, *_ = pool_fast.apply(params, h, jnp.asarray(grid),
+                                      jnp.asarray(mask))
+    assert not np.allclose(np.asarray(pooled_fast)[0][mo],
+                           np.asarray(pooled)[0][mo])
+
+
+def test_model_runs_with_unique_cells_false(rng):
+    feat, grid, mask = _inputs(rng, B=1)
+    model = PointTransformerV3(tiny_config(unique_cells=False))
+    params = model.init(jax.random.PRNGKey(0), feat, grid, mask)
+    out, out_mask = model.apply(params, feat, grid, mask)
+    assert np.all(np.isfinite(np.asarray(out)))

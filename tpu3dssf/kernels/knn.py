@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BQ = 64          # query rows per grid step
 _SLOTS = 8         # output k-slots (k ≤ 8), lane-padded
+# invalid-ref / unfilled-slot distance sentinel — MUST match
+# voxelize.KNN_BAD_DIST so the XLA fallback path is bit-identical even
+# when a query has < k valid refs. Never square it downstream (f32
+# overflow, CLAUDE.md trap 9); consumers select by index, not distance.
 _BAD = 1e30
 
 

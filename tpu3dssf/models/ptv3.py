@@ -63,6 +63,11 @@ class PTv3Config:
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     pool_ratio: int = 2  # capacity divisor per pooling stage
+    # True ⇒ caller guarantees every valid grid_coord row is a DISTINCT
+    # cell (voxelize() provides this), enabling the run-max pooling fast
+    # path. Set False for raw/duplicated grid coords: the first pooling
+    # then uses exact segment_max (run-max silently truncates runs > 8).
+    unique_cells: bool = True
     use_pallas: bool = True
     remat: bool = False  # jax.checkpoint each block (activation memory ↓)
     dtype: jnp.dtype = jnp.float32
@@ -250,6 +255,28 @@ def _pool_structure(grid, mask, out_cap, perm=None):
     return jax.vmap(one)(grid, mask, perm)
 
 
+class _DepthwiseConv3(nn.Module):
+    """Kernel-3 depthwise conv along the sequence as three shifted
+    multiply-adds. Exactly ``nn.Conv(C, (3,), feature_group_count=C,
+    padding=SAME)`` — same param names/shapes (kernel (3, 1, C), bias)
+    so existing checkpoints load unchanged — but lowered as fusable VPU
+    passes instead of XLA's grouped-conv relayout.
+    """
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 1, self.channels)).astype(self.dtype)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.channels,)).astype(self.dtype)
+        left = jnp.pad(xs[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        right = jnp.pad(xs[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        return left * k[0, 0] + xs * k[1, 0] + right * k[2, 0] + b
+
+
 class SerializedCPE(nn.Module):
     """Conditional positional encoding along the serialized order.
 
@@ -266,10 +293,8 @@ class SerializedCPE(nn.Module):
         xs = x * mask[..., None]
         if perm is not None:
             xs = jnp.take_along_axis(xs, perm[..., None], axis=1)
-        y = nn.Conv(
-            features=self.channels, kernel_size=(3,),
-            feature_group_count=self.channels, use_bias=True,
-            dtype=self.dtype, name="depthwise")(xs)
+        y = _DepthwiseConv3(self.channels, dtype=self.dtype,
+                            name="depthwise")(xs)
         y = nn.Dense(self.channels, dtype=self.dtype, name="pointwise")(y)
         if inv is not None:
             y = jnp.take_along_axis(y, inv[..., None], axis=1)
@@ -372,6 +397,7 @@ class SerializedPooling(nn.Module):
     channels: int
     out_cap: int
     presorted: bool = False  # input already in a serialized order
+    unique_cells: bool = True  # distinct-cell slots ⇒ run-max fast path
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -380,11 +406,27 @@ class SerializedPooling(nn.Module):
             seg_s, grid_out, mask_out, parent, parent_ok, end_pos = \
                 _pool_structure_sorted(grid, mask, self.out_cap)
             h = nn.Dense(self.channels, dtype=self.dtype, name="proj")(x)
-            # contiguous ≤8-element runs: shifted maxima + one gather,
-            # no (N, C) scatter-max and no "empty" sentinel at all
-            pooled = jax.vmap(
-                lambda hh, ss, ep: _run_max_sorted(
-                    hh.astype(jnp.float32), ss, ep))(h, seg_s, end_pos)
+            if self.unique_cells:
+                # contiguous ≤8-element runs: shifted maxima + one
+                # gather, no (N, C) scatter-max, no "empty" sentinel
+                pooled = jax.vmap(
+                    lambda hh, ss, ep: _run_max_sorted(
+                        hh.astype(jnp.float32), ss, ep))(h, seg_s, end_pos)
+            else:
+                # duplicate cells ⇒ runs can exceed 8: exact segment_max
+                # (sorted order still groups a cell's members, so the
+                # structure result is identical — only the max changes)
+                neg = jnp.float32(-1.0e9)
+
+                def pool_one(hh, ss):
+                    ok = ss < self.out_cap
+                    return jax.ops.segment_max(
+                        jnp.where(ok[:, None], hh.astype(jnp.float32),
+                                  neg), ss,
+                        num_segments=self.out_cap + 1,
+                        indices_are_sorted=False)[:self.out_cap]
+
+                pooled = jax.vmap(pool_one)(h, seg_s)
         else:
             seg_s, order, grid_out, mask_out, parent, parent_ok = \
                 _pool_structure(grid, mask, self.out_cap, perm)
@@ -438,6 +480,15 @@ class PointTransformerV3(nn.Module):
             mask (B, N) bool. N must be a multiple of enc_window[0].
     Output: (feat (B, N, dec_channels[0]), mask) — the 64-d point head the
             fusion model consumes (reference utils/lidar.py:55-56).
+
+    Cell-uniqueness contract: with the default ``config.unique_cells``,
+    every valid grid_coord row must be a DISTINCT cell — exactly what
+    :func:`tpu3dssf.voxel.voxelize` emits (its voxel_coords are the
+    per-voxel unique cell keys). The first grid pooling then uses a
+    truncating run-max fast path (≤ 2³ children per 2x coarse cell).
+    Feeding raw, possibly-duplicated grid coords (e.g. floored points
+    without voxelization) requires ``unique_cells=False``, which swaps
+    that stage to an exact segment_max.
     """
 
     config: PTv3Config
@@ -489,8 +540,11 @@ class PointTransformerV3(nn.Module):
         inv_cpes = []  # per stage: un-sort index (sorted -> vid space)
         for s in range(cfg.num_stages):
             if s > 0:
+                # only stage 1 pools caller-provided cells; deeper
+                # stages pool slots that are unique by construction
                 x, grid, msk, parent, parent_ok = SerializedPooling(
                     cfg.enc_channels[s], caps[s], presorted=True,
+                    unique_cells=(cfg.unique_cells or s > 1),
                     dtype=cfg.dtype, name=f"pool{s}",
                 )(x, grid, msk)
                 pools.append((parent, parent_ok))

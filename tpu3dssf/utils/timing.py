@@ -71,7 +71,18 @@ def time_device(fn: Callable, *args, iters: int = 10,
         return best
 
     n1, n2 = iters, 4 * iters
-    return max(wall(n2) - wall(n1), 0.0) / (n2 - n1)
+    slope = (wall(n2) - wall(n1)) / (n2 - n1)
+    if slope <= 0.0:
+        # RTT jitter exceeded the kernel cost: the measurement is
+        # invalid, not "0 s/call" — tell the caller to raise iters
+        # instead of silently recording a too-good-to-be-true number
+        import warnings
+        warnings.warn(
+            f"time_device: non-positive slope ({slope*1e6:.1f} us/call "
+            f"at iters={iters}) — RTT jitter swamped the kernel; "
+            f"re-run with larger iters", stacklevel=2)
+        return float("nan")
+    return slope
 
 
 def measure_efficiency(func, *args, **kwargs):

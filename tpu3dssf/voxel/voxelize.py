@@ -32,6 +32,13 @@ from tpu3dssf.serialization.codes import pack_cell_keys
 # Reference 5-NN intensity weights (utils/lidar.py:101).
 KNN_INTENSITY_WEIGHTS = (0.4, 0.3, 0.2, 0.05, 0.05)
 
+# Shared invalid-ref distance sentinel for BOTH k-NN paths (Pallas kernel
+# and the XLA fallback below) so their outputs stay bit-identical even
+# for queries with < k valid refs. Large enough to lose every comparison
+# against a real squared distance, small enough to stay finite — but it
+# must never be squared downstream (see _tiled_topk_neighbors docstring).
+KNN_BAD_DIST = 1e30
+
 
 class VoxelizeResult(NamedTuple):
     """Outputs of :func:`voxelize` (per sample, fixed capacity V).
@@ -167,6 +174,12 @@ def _tiled_topk_neighbors(queries, query_mask, refs, ref_mask, k, tile=2048):
     The k=1 path (devoxelization) uses plain min/argmin reductions that
     XLA fuses into the distance matmul — ~6x faster than the top_k row
     sorts on TPU.
+
+    Queries with fewer than ``k`` valid refs get the sentinel distance
+    ``KNN_BAD_DIST`` (= the Pallas kernel's fill, so both paths agree
+    bit-for-bit) in the unfilled slots; callers must treat those slots
+    by index validity, never feed the sentinel into arithmetic that
+    squares it (1e30² overflows f32 — CLAUDE.md trap 9).
     """
     Q = queries.shape[0]
     R = refs.shape[0]
@@ -187,7 +200,7 @@ def _tiled_topk_neighbors(queries, query_mask, refs, ref_mask, k, tile=2048):
     mask_p = jnp.pad(ref_mask, (0, pad_r))
 
     q_norm = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Q, 1)
-    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+    inf = jnp.float32(KNN_BAD_DIST)
 
     def tile_dist(t):
         r = jax.lax.dynamic_slice_in_dim(refs_p, t * tile, tile, axis=0)
