@@ -45,8 +45,12 @@ class TPUParams:
     point_capacity: int = 35840        # static P (multiple of 1024)
     voxel_capacity: int = 26624        # static V (multiple of window)
     window_size: int = 1024
-    intensity_mode: str = "mean"       # "mean" | "knn5" (reference parity)
-    devoxelize_mode: str = "own"       # "own" | "nearest" (reference parity)
+    # Parity modes (see README "Recommended parity configuration"):
+    # for reference comparisons use devoxelize_mode="nearest" and KEEP
+    # intensity_mode="mean" — devox-only parity agrees 99.25% with
+    # full-parity (PARITY_AB.md) while knn5 costs ~40% of a frame.
+    intensity_mode: str = "mean"       # "mean" | "knn5" (bit-level audit)
+    devoxelize_mode: str = "own"       # "own" | "nearest" (parity)
     use_pallas: bool = True
     remat: bool = False                # jax.checkpoint PTv3 blocks
     compute_dtype: str = "bfloat16"    # model compute dtype
