@@ -51,6 +51,16 @@ class ViTConfig:
     layerscale_init: Optional[float] = 1e-5
     use_rope: bool = False
     use_flash: bool = False  # Pallas flash attention (TPU only)
+    # Head-parallel tensor parallelism over the FLASH path: set both to
+    # shard_map the packed flash kernel over ``tp_axis`` of ``tp_mesh``
+    # (heads split across chips; qkv column-parallel, proj row-parallel
+    # — GSPMD inserts the one psum per residual branch). Requires
+    # params permuted by :func:`prepare_tp_params` (per-shard
+    # [q_s|k_s|v_s] qkv column layout) and num_heads % shards == 0.
+    # The einsum path (use_flash=False) needs neither: plain
+    # vit_tp_shardings is enough there.
+    tp_axis: Optional[str] = None
+    tp_mesh: Optional[object] = None  # jax.sharding.Mesh
     dtype: jnp.dtype = jnp.float32
     # HF-parity knobs: DINOv3 uses LN eps 1e-5 (DINOv3ViTConfig
     # layer_norm_eps) and RoPE base theta 100; dinov2 uses eps 1e-6
@@ -211,20 +221,65 @@ class ViTBlock(nn.Module):
             # relayouts swamp the saved HBM traffic, see
             # scripts/time_vit_parts.py — so RoPE stays out here.)
             from tpu3dssf.kernels.flash_attention import (
-                flash_attention_packed, pick_block_q)
-            q = qkv[..., :C].reshape(B, N, H, D)
-            k = qkv[..., C:2 * C].reshape(B, N, H, D)
-            if cfg.use_rope and rope_angles is not None:
-                q = _apply_rope(q, rope_angles, cfg.num_prefix_tokens)
-                k = _apply_rope(k, rope_angles, cfg.num_prefix_tokens)
-            q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)  # fold scale
-            packed = jnp.concatenate(
-                [q.reshape(B, N, C), k.reshape(B, N, C),
-                 qkv[..., 2 * C:]], axis=-1)
+                flash_attention, flash_attention_packed, pick_block_q)
+
+            def run_flash(qkv_blk, bias, rope):
+                # shapes from the (possibly per-shard) block itself —
+                # under shard_map both B and the channel count shrink
+                Bl, Nl, C3l = qkv_blk.shape
+                Cl = C3l // 3
+                Hl = Cl // D
+                q = qkv_blk[..., :Cl].reshape(Bl, Nl, Hl, D)
+                k = qkv_blk[..., Cl:2 * Cl].reshape(Bl, Nl, Hl, D)
+                if rope is not None:
+                    q = _apply_rope(q, rope, cfg.num_prefix_tokens)
+                    k = _apply_rope(k, rope, cfg.num_prefix_tokens)
+                if Hl > 8:
+                    # many-head configs (ViT-L: 16): the packed kernel
+                    # unrolls heads in ONE Mosaic body (16x the code +
+                    # scratch staging) and its remote AOT compile dies
+                    # at ViT-L size (PERF.md round 2). The (B,H,N,D)
+                    # kernel puts heads on the grid — tiny body, same
+                    # FLOPs — at the cost of per-layer transposes.
+                    v = qkv_blk[..., 2 * Cl:].reshape(Bl, Nl, Hl, D)
+                    out4 = flash_attention(q, k, v, pick_block_q(Nl),
+                                           bias)
+                    return out4.reshape(Bl, Nl, Cl)
+                q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
+                packed = jnp.concatenate(
+                    [q.reshape(Bl, Nl, Cl), k.reshape(Bl, Nl, Cl),
+                     qkv_blk[..., 2 * Cl:]], axis=-1)
+                return flash_attention_packed(packed, bias, Hl,
+                                              pick_block_q(Nl))
+
             bias = (key_bias if key_bias is not None
                     else jnp.zeros((B, 1, N), jnp.float32))
-            out = flash_attention_packed(packed, bias, H,
-                                         pick_block_q(N))
+            rope = (rope_angles if (cfg.use_rope and
+                                    rope_angles is not None) else None)
+            if cfg.tp_axis is not None and cfg.tp_mesh is not None:
+                # head-parallel shard_map: qkv arrives in the TP column
+                # layout (prepare_tp_params), so each shard's contiguous
+                # channel block IS its packed [q_s|k_s|v_s] — the local
+                # kernel call is identical to the single-chip one.
+                # Sequence + bias are replicated; any other mesh axis
+                # stays a batch (data) axis.
+                from jax.sharding import PartitionSpec as P
+                mesh, ax = cfg.tp_mesh, cfg.tp_axis
+                dp = next((a for a in mesh.axis_names if a != ax), None)
+                specs = [P(dp, None, ax), P(dp, None, None)]
+                args = [qkv, bias]
+                if rope is not None:
+                    specs.append(P(None, None))
+                    args.append(rope)
+                # check_vma=False: pallas_call's out ShapeDtypeStruct
+                # carries no vma annotation, which the checker requires
+                out = jax.shard_map(
+                    lambda qk, b, *r: run_flash(
+                        qk, b, r[0] if r else None),
+                    mesh=mesh, in_specs=tuple(specs),
+                    out_specs=P(dp, None, ax), check_vma=False)(*args)
+            else:
+                out = run_flash(qkv, bias, rope)
         else:
             qkv = qkv.reshape(B, N, 3, H, D)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -411,6 +466,67 @@ def quantize_vit(params, config: ViTConfig):
     out = dict(params)
     out["params"] = p
     return jax.tree.map(lambda x: x, out), new_cfg
+
+
+def qkv_tp_permutation(hidden_size: int, num_heads: int,
+                       num_shards: int):
+    """Column permutation taking the qkv Dense layout [q|k|v] (each
+    (H, D) channel blocks) to the TP layout [q_0|k_0|v_0 | q_1|k_1|v_1
+    | ...] where block s holds shard s's heads. After this permutation
+    a CONTIGUOUS sharding of the 3C output dim over ``num_shards``
+    hands every shard exactly the packed qkv its local flash kernel
+    expects — column-parallel attention with zero resharding."""
+    import numpy as np
+    C, H, S = hidden_size, num_heads, num_shards
+    if H % S:
+        raise ValueError(f"num_heads={H} not divisible by shards={S}")
+    D = C // H
+    Hl = H // S
+    idx = np.arange(3 * C).reshape(3, H, D)
+    blocks = [idx[t, s * Hl:(s + 1) * Hl].reshape(-1)
+              for s in range(S) for t in range(3)]
+    return np.concatenate(blocks)
+
+
+def prepare_tp_params(params, config: ViTConfig, mesh, axis: str = "model"):
+    """Permute qkv columns into the TP layout and stamp (tp_mesh,
+    tp_axis) into the config — the flash path then runs head-parallel
+    over ``axis`` (see ViTConfig.tp_axis). Shard with
+    :func:`tpu3dssf.parallel.vit_tp_shardings` afterwards.
+
+    Works for unrolled and scan trees, float and W8A8 (quantize_vit)
+    params. No-op permutation when the mesh axis has size 1.
+    """
+    import jax as _jax
+
+    shards = mesh.shape[axis]
+    perm = qkv_tp_permutation(config.hidden_size, config.num_heads,
+                              shards)
+
+    def permute_qkv(qkv):
+        out = dict(qkv)
+        for key in ("kernel", "kernel_q"):
+            if key in out:
+                out[key] = jnp.asarray(out[key])[..., perm]
+        for key in ("bias", "scale"):
+            if key in out:
+                out[key] = jnp.asarray(out[key])[..., perm]
+        return out
+
+    p = dict(params["params"])
+    if config.scan_layers:
+        blk = dict(p["blocks"])
+        blk["qkv"] = permute_qkv(blk["qkv"])
+        p["blocks"] = blk
+    else:
+        for i in range(config.num_layers):
+            blk = dict(p[f"block{i}"])
+            blk["qkv"] = permute_qkv(blk["qkv"])
+            p[f"block{i}"] = blk
+    out = dict(params)
+    out["params"] = p
+    new_cfg = dataclasses.replace(config, tp_axis=axis, tp_mesh=mesh)
+    return _jax.tree.map(lambda x: x, out), new_cfg
 
 
 def _resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:

@@ -71,8 +71,13 @@ def vit_tp_shardings(params, mesh: Mesh, axis: str = "model"):
     (block0..N) and scan_layers (stacked "blocks") param trees; kernels
     gain one leading layer dim in the stacked case, which is why specs
     are derived from rank. Intended for the ViT-L option (SURVEY.md
-    §2.4: "keep mesh axis reserved for ViT-L"); use the einsum
-    attention path (use_flash=False) — Pallas kernels need shard_map.
+    §2.4: "keep mesh axis reserved for ViT-L").
+
+    Works with BOTH attention paths: the einsum path needs nothing
+    more; the Pallas flash path (use_flash=True) additionally needs
+    ``tpu3dssf.models.vit.prepare_tp_params`` (permutes qkv columns to
+    the per-shard packed layout and stamps tp_mesh/tp_axis into the
+    config so the kernel runs head-parallel under shard_map).
     """
     def spec_for(path, x):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
