@@ -84,6 +84,34 @@ def main():
               f"({B*P/dt:,.0f} points/s)  "
               f"[compile {time.perf_counter()-t0:.0f}s]")
 
+        if name != "lidar-only":
+            continue
+        # ---- per-phase breakdown (VERDICT r2 #7): fwd / bwd / opt ----
+
+        def fwd_only(points, toks, state=state):
+            logits = state.apply_fn(
+                state.params, points, batch["point_valid"], toks,
+                batch["cam_intrinsics"], batch["lidar2cam"])
+            return loss_fn(logits, batch["labels"], batch["mask"]).total
+
+        def fwd_bwd(points, toks, state=state):
+            def loss(p):
+                logits = state.apply_fn(
+                    p, points, batch["point_valid"], toks,
+                    batch["cam_intrinsics"], batch["lidar2cam"])
+                return loss_fn(logits, batch["labels"],
+                               batch["mask"]).total
+
+            l, grads = jax.value_and_grad(loss)(state.params)
+            return l + sum(jnp.sum(g.astype(jnp.float32))
+                           for g in jax.tree.leaves(grads))
+
+        d_f = time_device(fwd_only, batch["points"], tokens, iters=10)
+        d_fb = time_device(fwd_bwd, batch["points"], tokens, iters=10)
+        print(f"{'':20s}   fwd {d_f*1e3:6.1f} ms | bwd "
+              f"{(d_fb-d_f)*1e3:6.1f} ms | opt+misc "
+              f"{(dt-d_fb)*1e3:6.1f} ms (residuals of {dt*1e3:.1f})")
+
 
 if __name__ == "__main__":
     print("backend:", end=" ")
