@@ -76,7 +76,12 @@ def main():
 
             l, grads = jax.value_and_grad(loss)(state.params)
             new_state = state.apply_gradients(grads=grads)
-            return l + jax.tree.leaves(new_state.params)[0].mean()
+            # return the WHOLE new state: time_device's _live_sum keeps
+            # every leaf live. Returning only leaf[0].mean() (round 2)
+            # let XLA dead-code-eliminate most per-param weight-grad
+            # matmuls and optimizer updates — the 53.7 ms round-2 step
+            # was DCE-flattered (honest number: see PERF.md round 3).
+            return (l, new_state.params)
 
         t0 = time.perf_counter()
         dt = time_device(step, batch["points"], tokens, iters=10)

@@ -8,6 +8,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 WINDOW = 1024
+B = int(os.environ.get("PTV3_B", "1"))
 
 
 def main():
@@ -32,7 +33,7 @@ def main():
 
     # (N, C, H) per encoder stage at the bench capacities
     caps = cfg.capacities(25600)
-    print("caps:", caps)
+    print("caps:", caps, "B:", B)
 
     def tb(name, fn, *args, iters=50):
         dt = time_device(fn, *args, iters=iters)
@@ -43,31 +44,30 @@ def main():
     total_blk = 0.0
     for s, (N, C, H) in enumerate(zip(caps, cfg.enc_channels,
                                       cfg.enc_heads)):
-        x = jnp.asarray(rng.normal(size=(1, N, C)) * 0.1, dtype)
-        grid = jnp.asarray(rng.integers(0, 512, (1, N, 3)), jnp.int32)
-        mask = jnp.ones((1, N), bool)
+        x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.1, dtype)
+        grid = jnp.asarray(rng.integers(0, 512, (B, N, 3)), jnp.int32)
+        mask = jnp.ones((B, N), bool)
 
         # window attention alone at this stage's shape
         K = min(WINDOW, N)
         W = N // K
         D = C // H
-        q = jnp.asarray(rng.normal(size=(W, K, H, D)), dtype)
-        km = np.ones((W, K), bool)
+        q = jnp.asarray(rng.normal(size=(B * W, K, H, D)), dtype)
+        km = np.ones((B * W, K), bool)
         dt = tb(f"s{s} window_attn N={N} C={C} h={H}",
                 jax.jit(lambda a, b, c: window_attention(
                     a, b, c, jnp.asarray(km), True)), q, q, q)
         total_attn += dt * cfg.enc_depths[s]
 
-        # full block (CPE + attn + MLP) with identity CPE + real perm
+        # full block (CPE + attn + MLP) with sorted-space CPE + real perm
         perms = _serialize_perms(grid, mask, ("z", "z-trans"))
-        rel = {"z": (None, None), "z-trans": perms["z-trans"]}
         blk = PTv3Block(C, H, WINDOW, 4.0, use_pallas=True, dtype=dtype)
-        bp = jax.jit(blk.init, static_argnums=(3, 4, 6))(
-            jax.random.PRNGKey(0), x, rel, "z-trans", "z", mask, True)
-        f = jax.jit(lambda xx, pp: blk.apply(bp, xx, {"z": (None, None),
-                                                      "z-trans": pp},
-                                             "z-trans", "z", mask, True))
-        dt = tb(f"s{s} full block N={N} C={C}", f, x, perms["z-trans"])
+        p_rel, i_rel = perms["z-trans"]
+        bp = jax.jit(blk.init, static_argnums=(5,))(
+            jax.random.PRNGKey(0), x, p_rel, i_rel, mask, True)
+        f = jax.jit(lambda xx, pp, ii: blk.apply(bp, xx, pp, ii, mask,
+                                                 True))
+        dt = tb(f"s{s} full block N={N} C={C}", f, x, p_rel, i_rel)
         total_blk += dt * cfg.enc_depths[s]
 
         # serialization sort cost at this level (4 orders)
@@ -86,10 +86,10 @@ def main():
     for s in range(1, 5):
         N_in, C_in = caps[s - 1], cfg.enc_channels[s - 1]
         N_out, C_out = caps[s], cfg.enc_channels[s]
-        x = jnp.asarray(rng.normal(size=(1, N_in, C_in)) * 0.1, dtype)
+        x = jnp.asarray(rng.normal(size=(B, N_in, C_in)) * 0.1, dtype)
         grid = jnp.sort(jnp.asarray(
-            rng.integers(0, 512, (1, N_in, 3)), jnp.int32), axis=1)
-        mask = jnp.ones((1, N_in), bool)
+            rng.integers(0, 512, (B, N_in, 3)), jnp.int32), axis=1)
+        mask = jnp.ones((B, N_in), bool)
         pool = SerializedPooling(C_out, N_out, presorted=True, dtype=dtype)
         pp = jax.jit(pool.init)(jax.random.PRNGKey(0), x, grid, mask)
         tb(f"pool{s} {N_in}->{N_out} C={C_out}",
@@ -100,13 +100,13 @@ def main():
         N_f, C_f = caps[d], cfg.dec_channels[d]
         N_c = caps[d + 1]
         C_c = cfg.enc_channels[d + 1] if d == 3 else cfg.dec_channels[d + 1]
-        xc = jnp.asarray(rng.normal(size=(1, N_c, C_c)) * 0.1, dtype)
+        xc = jnp.asarray(rng.normal(size=(B, N_c, C_c)) * 0.1, dtype)
         sk = jnp.asarray(
-            rng.normal(size=(1, N_f, cfg.enc_channels[d])) * 0.1, dtype)
+            rng.normal(size=(B, N_f, cfg.enc_channels[d])) * 0.1, dtype)
         parent = jnp.asarray(
-            rng.integers(0, N_c, (1, N_f)), jnp.int32)
-        pok = jnp.ones((1, N_f), bool)
-        mf = jnp.ones((1, N_f), bool)
+            rng.integers(0, N_c, (B, N_f)), jnp.int32)
+        pok = jnp.ones((B, N_f), bool)
+        mf = jnp.ones((B, N_f), bool)
         up = SerializedUnpooling(C_f, dtype=dtype)
         upp = jax.jit(up.init)(jax.random.PRNGKey(0), xc, sk, parent,
                                pok, mf)
@@ -117,8 +117,8 @@ def main():
     # CPE alone and MLP alone at s0 / s3 shapes
     for s in (0, 3):
         N, C = caps[s], cfg.enc_channels[s]
-        x = jnp.asarray(rng.normal(size=(1, N, C)) * 0.1, dtype)
-        mask = jnp.ones((1, N), bool)
+        x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.1, dtype)
+        mask = jnp.ones((B, N), bool)
         cpe = SerializedCPE(C, dtype=dtype)
         cp = jax.jit(cpe.init)(jax.random.PRNGKey(0), x, None, None, mask)
         tb(f"s{s} CPE (dwconv+dense) N={N} C={C}",
@@ -133,9 +133,9 @@ def main():
     from tpu3dssf.models.ptv3 import PointTransformerV3
     import dataclasses
     model = PointTransformerV3(dataclasses.replace(cfg, dtype=dtype))
-    feat = jnp.asarray(rng.normal(size=(1, caps[0], 4)), dtype)
-    grid = jnp.asarray(rng.integers(0, 512, (1, caps[0], 3)), jnp.int32)
-    mask = jnp.ones((1, caps[0]), bool)
+    feat = jnp.asarray(rng.normal(size=(B, caps[0], 4)), dtype)
+    grid = jnp.asarray(rng.integers(0, 512, (B, caps[0], 3)), jnp.int32)
+    mask = jnp.ones((B, caps[0]), bool)
     mp = jax.jit(model.init)(jax.random.PRNGKey(0), feat, grid, mask)
     tb("FULL PTv3 (25.6k)",
        jax.jit(lambda f, g, m: model.apply(mp, f, g, m)[0]),

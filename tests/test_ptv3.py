@@ -300,3 +300,55 @@ def test_model_runs_with_unique_cells_false(rng):
     params = model.init(jax.random.PRNGKey(0), feat, grid, mask)
     out, out_mask = model.apply(params, feat, grid, mask)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_scan_blocks_forward_and_grads(rng):
+    """scan_blocks compiles each stage's blocks as one nn.scan: forward
+    must be finite, permutation-invariant, and differentiable; HLO must
+    be substantially smaller than the unrolled form."""
+    import jax.numpy as jnp
+
+    feat, grid, mask = _inputs(rng, B=1)
+    cfg = tiny_config(enc_depths=(2, 2), dec_depths=(2,),
+                      scan_blocks=True)
+    model = PointTransformerV3(cfg)
+    params = model.init(jax.random.PRNGKey(0), feat, grid, mask)
+    out, _ = model.apply(params, feat, grid, mask)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # scanned param tree: stage blocks stacked along a leading axis
+    enc0 = params["params"]["enc0_scan"]
+    assert enc0["mlp_in"]["kernel"].shape[0] == 2
+
+    # permutation invariance (same property the unrolled model has)
+    perm = rng.permutation(feat.shape[1])
+    params2 = model.init(jax.random.PRNGKey(0), feat[:, perm],
+                         grid[:, perm], mask[:, perm])
+    out2, _ = model.apply(params2, feat[:, perm], grid[:, perm],
+                          mask[:, perm])
+    # params depend on init input order only through shapes -> identical
+    np.testing.assert_allclose(
+        np.asarray(out2[0][np.argsort(perm)][mask[0]]),
+        np.asarray(out[0][mask[0]]), rtol=2e-4, atol=2e-5)
+
+    def loss(p):
+        o, _ = model.apply(p, feat, grid, mask)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    nonzero = sum(bool(np.any(np.asarray(l))) for l in leaves)
+    assert nonzero >= len(leaves) - 2  # dp gates may be zero
+
+    # HLO shrinks (modestly at tiny scale — serialization/pooling HLO
+    # dominates there; at bench scale the saving is ~11%: 1.21 -> 1.07
+    # MB, block bodies are ~18% of PTv3's ops)
+    un = PointTransformerV3(tiny_config(enc_depths=(2, 2),
+                                        dec_depths=(2,)))
+    pu = un.init(jax.random.PRNGKey(0), feat, grid, mask)
+    t_scan = jax.jit(lambda p, f, g2, m: model.apply(p, f, g2, m)[0]
+                     ).lower(params, feat, grid, mask).as_text()
+    t_un = jax.jit(lambda p, f, g2, m: un.apply(p, f, g2, m)[0]
+                   ).lower(pu, feat, grid, mask).as_text()
+    assert len(t_scan) < len(t_un)

@@ -68,6 +68,13 @@ class PTv3Config:
     # path. Set False for raw/duplicated grid coords: the first pooling
     # then uses exact segment_max (run-max silently truncates runs > 8).
     unique_cells: bool = True
+    # Compile each stage's blocks as ONE nn.scan over stacked params
+    # instead of `depth` unrolled bodies (22 → 9 block bodies in the
+    # default config): much less HLO for the remote AOT compiler, at
+    # the cost of explicit identity gathers for blocks that attend
+    # along the CPE order. Changes the param tree (per-stage stacks) —
+    # opt-in so existing checkpoints stay loadable.
+    scan_blocks: bool = False
     use_pallas: bool = True
     remat: bool = False  # jax.checkpoint each block (activation memory ↓)
     dtype: jnp.dtype = jnp.float32
@@ -325,11 +332,26 @@ class SerializedAttention(nn.Module):
             mask_s = mask
 
         W = N // K
-        qkv = qkv.reshape(B * W, K, 3, H, D)
         key_mask = mask_s.reshape(B * W, K)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
-        out = window_attention(q, k, v, key_mask, self.use_pallas)
+        if self.use_pallas and K % 128 == 0:
+            # windows are just batch rows of a full MHA — reuse the
+            # packed flash kernel (one attention kernel for ViT AND
+            # PTv3): qkv stays (B·W, K, 3C) straight off the Dense,
+            # heads sliced in VMEM, ZERO transposes. The old
+            # (W, K, H, D) path relayouts q/k/v (and the output)
+            # through 8x-lane-padded (…, D=16) tiles.
+            from tpu3dssf.kernels.flash_attention import (
+                flash_attention_packed, pick_block_q)
+            qkvw = qkv.reshape(B * W, K, 3 * C)
+            bias = jnp.where(key_mask, 0.0, -1e9)[:, None, :]
+            out = flash_attention_packed(  # positional: custom_vjp
+                qkvw, bias, H, pick_block_q(K), None, None,
+                1.0 / (D ** 0.5))
+            out = out * key_mask[..., None].astype(out.dtype)
+        else:
+            qkv4 = qkv.reshape(B * W, K, 3, H, D)
+            q, k, v = qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2]
+            out = window_attention(q, k, v, key_mask, self.use_pallas)
         out = out.reshape(B, N, C)
         if inv is not None:
             out = jnp.take_along_axis(out, inv[..., None], axis=1)
@@ -353,7 +375,13 @@ class DropPath(nn.Module):
 
 
 class PTv3Block(nn.Module):
-    """CPE → pre-norm windowed attention → pre-norm MLP (all residual)."""
+    """CPE → pre-norm windowed attention → pre-norm MLP (all residual).
+
+    The residual stream is in the CPE curve's sorted space (the model
+    keeps it there per stage), so CPE itself needs no permutation and
+    ``perm``/``inv`` are the attention order's RELATIVE permutations —
+    ``None`` when the block attends along the CPE order itself.
+    """
 
     channels: int
     heads: int
@@ -364,13 +392,10 @@ class PTv3Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, perms, order, cpe_order, mask,
-                 deterministic=True):
-        perm_c, inv_c = perms[cpe_order]
+    def __call__(self, x, perm, inv, mask, deterministic=True):
         x = SerializedCPE(self.channels, dtype=self.dtype, name="cpe")(
-            x, perm_c, inv_c, mask)
+            x, None, None, mask)
 
-        perm, inv = perms[order]
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = SerializedAttention(
             self.channels, self.heads, self.window,
@@ -501,9 +526,51 @@ class PointTransformerV3(nn.Module):
         cpe_order = orders[0]
         # remat: recompute block activations in backward — trades FLOPs
         # for HBM, the standard TPU memory lever
-        # static_argnums count self as 0: order=3, cpe_order=4, det=6
-        Block = (nn.remat(PTv3Block, static_argnums=(3, 4, 6))
+        # static_argnums count self as 0: deterministic=5
+        Block = (nn.remat(PTv3Block, static_argnums=(5,))
                  if cfg.remat else PTv3Block)
+
+        def run_blocks(x, perms, msk, depth, channels, heads, window,
+                       name):
+            """`depth` blocks cycling through the serialization orders
+            — unrolled, or one nn.scan over stacked per-block params
+            (cfg.scan_blocks) with the relative permutations as scanned
+            inputs (identity arange where a block attends along the
+            CPE order)."""
+            mk = lambda nm: Block(  # noqa: E731
+                channels, heads, window, cfg.mlp_ratio,
+                drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
+                dtype=cfg.dtype, name=nm)
+            if not (cfg.scan_blocks and depth > 1):
+                for b in range(depth):
+                    order = orders[b % len(orders)]
+                    perm, inv = perms[order]
+                    x = mk(f"{name}_blk{b}")(x, perm, inv, msk,
+                                             deterministic)
+                return x
+            Bb, Nn = msk.shape
+            ar = jnp.broadcast_to(
+                jnp.arange(Nn, dtype=jnp.int32), (Bb, Nn))
+            ps, ivs = [], []
+            for b in range(depth):
+                perm, inv = perms[orders[b % len(orders)]]
+                ps.append(ar if perm is None else perm)
+                ivs.append(ar if inv is None else inv)
+            stacks = (jnp.stack(ps), jnp.stack(ivs))
+
+            def body(block, carry, pi):
+                return block(carry, pi[0], pi[1], msk,
+                             deterministic), None
+
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,
+                length=depth,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(mk(f"{name}_scan"), x, stacks)
+            return x
 
         x = nn.Dense(cfg.enc_channels[0], dtype=cfg.dtype, name="embed")(feat)
         x = nn.LayerNorm(dtype=cfg.dtype, name="embed_norm")(x)
@@ -555,14 +622,9 @@ class PointTransformerV3(nn.Module):
             grid = jnp.take_along_axis(grid, perm_c[..., None], axis=1)
             msk = jnp.take_along_axis(msk, perm_c, axis=1)
             inv_cpes.append(inv_c)
-            for b in range(cfg.enc_depths[s]):
-                order = orders[b % len(orders)]
-                x = Block(
-                    cfg.enc_channels[s], cfg.enc_heads[s],
-                    cfg.enc_window[s], cfg.mlp_ratio,
-                    drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
-                    dtype=cfg.dtype, name=f"enc{s}_blk{b}",
-                )(x, perms, order, cpe_order, msk, deterministic)
+            x = run_blocks(x, perms, msk, cfg.enc_depths[s],
+                           cfg.enc_channels[s], cfg.enc_heads[s],
+                           cfg.enc_window[s], f"enc{s}")
             skips.append((x, grid, msk, perms))
 
         # ---- decoder ----
@@ -585,14 +647,9 @@ class PointTransformerV3(nn.Module):
             perms = dict(skip_perms)
             if missing:
                 perms.update(_serialize_perms(grid, msk, missing))
-            for b in range(cfg.dec_depths[d]):
-                order = orders[b % len(orders)]
-                x = Block(
-                    cfg.dec_channels[d], cfg.dec_heads[d],
-                    cfg.dec_window[d], cfg.mlp_ratio,
-                    drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
-                    dtype=cfg.dtype, name=f"dec{d}_blk{b}",
-                )(x, perms, order, cpe_order, msk, deterministic)
+            x = run_blocks(x, perms, msk, cfg.dec_depths[d],
+                           cfg.dec_channels[d], cfg.dec_heads[d],
+                           cfg.dec_window[d], f"dec{d}")
 
         # stream is in stage-0 sorted space; un-sort to input point order
         x = jnp.take_along_axis(x, inv_cpes[0][..., None], axis=1)
