@@ -48,12 +48,16 @@ def main():
         # one block at padded geometry: isolates the Mosaic/XLA cost of
         # the layer body from the 24-deep scan program
         N, C, H = 2944, cfg.hidden_size, cfg.num_heads
+        n_pre = cfg.num_prefix_tokens  # 5: CLS + 4 registers
         blk = ViTBlock(cfg)
         x = jnp.asarray(rng.normal(size=(6, N, C)) * 0.1, dtype)
-        bias = jnp.zeros((6, 1, N), jnp.float32)
+        # real sequence is n_pre + 40*71 = 2845; mask the padded keys
+        bias = jnp.zeros((6, 1, N), jnp.float32).at[:, :, 2845:].set(-1e9)
         from tpu3dssf.models.vit import _rope_angles
+        # angles cover the PATCH tokens only (prefix passes through):
+        # N - n_pre rows, identity rotation (0) for padded slots
         ang = _rope_angles(40, 71, C // H, cfg.rope_theta)
-        ang = jnp.pad(ang, ((0, N - ang.shape[0]), (0, 0)))
+        ang = jnp.pad(ang, ((0, N - n_pre - ang.shape[0]), (0, 0)))
         p = jax.jit(blk.init)(jax.random.PRNGKey(0), x, ang, bias)
         t0 = time.perf_counter()
         dt = time_device(

@@ -352,3 +352,33 @@ def test_scan_blocks_forward_and_grads(rng):
     t_un = jax.jit(lambda p, f, g2, m: un.apply(p, f, g2, m)[0]
                    ).lower(pu, feat, grid, mask).as_text()
     assert len(t_scan) < len(t_un)
+
+
+def test_serialized_attention_packed_matches_fallback(rng):
+    """use_pallas + K % 128 == 0 routes windows through the packed flash
+    kernel (one attention kernel for ViT and PTv3); it must agree with
+    the XLA window_attention fallback, masked tail and permutation
+    included."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu3dssf.models.ptv3 import SerializedAttention
+
+    B, N, C, H, K = 2, 256, 32, 2, 128
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    mask = np.ones((B, N), bool)
+    mask[:, N - 37:] = False          # ragged tail inside the last window
+    mask = jnp.asarray(mask)
+    perm = jnp.stack([jnp.asarray(rng.permutation(N).astype(np.int32))
+                      for _ in range(B)])
+    inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+
+    ref_attn = SerializedAttention(C, H, K, use_pallas=False)
+    params = ref_attn.init(jax.random.PRNGKey(0), x, perm, inv, mask)
+    want = ref_attn.apply(params, x, perm, inv, mask)
+
+    packed = SerializedAttention(C, H, K, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = packed.apply(params, x, perm, inv, mask)
+
+    np.testing.assert_allclose(
+        np.asarray(got)[np.asarray(mask)],
+        np.asarray(want)[np.asarray(mask)], rtol=2e-4, atol=2e-5)
