@@ -1,0 +1,36 @@
+"""time_device internals: every numeric output leaf must stay live.
+
+Regression for a measurement bug: ``_live_sum`` only kept INEXACT
+(float) leaves, so a function with integer outputs (e.g. an int8->int32
+matmul) contributed nothing to the fori_loop carry and XLA dead-code
+-eliminated the entire body — it timed as ~0 (an int8 matmul read
+"13,447 TOP/s", 34x the chip's int8 peak).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dssf.utils.timing import _live_sum, time_device
+
+
+def test_live_sum_keeps_integer_leaves():
+    x = jnp.arange(5, dtype=jnp.int32)           # sums to 10
+    y = jnp.ones((2, 2), jnp.float32)            # sums to 4
+    assert float(_live_sum({"a": x, "b": y})) == 14.0
+    assert float(_live_sum(x)) == 10.0           # int-only tree != 0
+    assert float(_live_sum(None)) == 0.0
+
+
+def test_live_sum_skips_non_numeric():
+    tree = {"m": jnp.ones((3,), bool), "s": "label",
+            "f": jnp.full((2,), 2.0, jnp.bfloat16)}
+    assert float(_live_sum(tree)) == 4.0
+
+
+def test_time_device_runs_integer_output_fn():
+    # smoke: an integer-output body must go through warmup + both trip
+    # counts without raising (slope may be nan on a jittery host — that
+    # is the documented "re-run with larger iters" signal, not an error)
+    a = jnp.asarray(np.arange(64, dtype=np.int32).reshape(8, 8))
+    dt = time_device(lambda m: m @ m, a, iters=2, repeats=1)
+    assert isinstance(dt, float)

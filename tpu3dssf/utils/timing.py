@@ -18,9 +18,12 @@ import jax.numpy as jnp
 
 
 def _live_sum(tree) -> jax.Array:
+    # every NUMERIC leaf must feed the carry: keeping only float leaves
+    # would dead-code-eliminate integer-output kernels (an int8->int32
+    # matmul timed "13,447 TOP/s" before this — the whole body was DCE'd)
     leaves = [l for l in jax.tree.leaves(tree)
               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
-                                                        jnp.inexact)]
+                                                        jnp.number)]
     if not leaves:
         leaves = [jnp.float32(0)]
     return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
