@@ -28,3 +28,22 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _drain_jax_effects():
+    """Wait for pending io_callbacks after every test.
+
+    Pallas TPU-interpret mode tears down its global SharedMemory via an
+    async io_callback; on this 1-core host a later interpret-mode
+    computation can initialize against the STALE object (sized for a
+    different device count), deadlocking its cleanup barrier — the
+    whole pytest process then dies with "Fatal Python error: Aborted"
+    (seen: any interpret test + test_graft_entry_dryrun back to back).
+    An effects barrier between tests guarantees the teardown ran.
+    """
+    yield
+    try:
+        jax.effects_barrier()
+    except Exception:
+        pass

@@ -1,5 +1,9 @@
 """Sharding tests on the 8-virtual-CPU mesh (conftest forces cpu)."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,7 +47,29 @@ def test_vit_tp_flash_path_matches_einsum(scan):
     permutes qkv columns so a contiguous channel sharding is each
     shard's packed [q_s|k_s|v_s]; the Pallas kernel runs head-parallel
     under shard_map (interpret mode on CPU). Must equal the unsharded
-    einsum forward."""
+    einsum forward.
+
+    Runs in a SUBPROCESS: jax's TPU-interpret machinery keeps
+    process-global shared memory whose per-pallas_call cleanup barrier
+    can deadlock a MULTI-device interpret computation when other
+    interpret-mode tests ran earlier in the same interpreter (device
+    threads stuck in _clean_up_shared_memory → "Fatal Python error:
+    Aborted"; same isolation as test_graft_entry_dryrun)."""
+    if os.environ.get("TPU3DSSF_INTERPRET_SUBPROC") != "1":
+        env = dict(os.environ, TPU3DSSF_INTERPRET_SUBPROC="1")
+        env.pop("PYTHONPATH", None)  # breaks axon plugin discovery
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p",
+             "no:cacheprovider",
+             os.path.abspath(__file__)
+             + f"::test_vit_tp_flash_path_matches_einsum[{scan}]"],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=root)
+        assert r.returncode == 0, \
+            f"subprocess failed:\n{r.stdout}\n{r.stderr}"
+        return
+
     from jax.experimental.pallas import tpu as pltpu
     from tpu3dssf.models.vit import prepare_tp_params
 

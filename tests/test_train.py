@@ -238,8 +238,24 @@ def test_data_parallel_step_on_virtual_mesh(rng):
 
 
 def test_graft_entry_dryrun():
-    import __graft_entry__ as ge
-    ge.dryrun_multichip(8)
+    """Run the driver's multichip dryrun in a SUBPROCESS, exactly as the
+    driver does. In-process it is flaky: jax's TPU-interpret machinery
+    keeps process-global shared memory whose per-pallas_call cleanup
+    barrier can deadlock when other interpret-mode tests ran earlier in
+    the same interpreter (7/8 device threads stuck in
+    _clean_up_shared_memory → "Fatal Python error: Aborted", upstream
+    TODO in interpret_pallas_call.py admits the barrier is temporary).
+    """
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DRYRUN_ONLY="1", NDEV="8")
+    env.pop("PYTHONPATH", None)  # breaks axon plugin discovery
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "__graft_entry__.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=root)
+    assert r.returncode == 0, f"dryrun failed:\n{r.stdout}\n{r.stderr}"
+    assert "OK" in r.stdout
 
 
 def test_main_infer_mesh_sharded(tmp_path):

@@ -235,3 +235,24 @@ def test_dinov3_large_preset_forward():
     out = VisionTransformer(cfg2).apply(params, imgs)
     assert out["patch_features"].shape == (1, 4, 1024)
     assert np.isfinite(np.asarray(out["patch_features"])).all()
+
+
+def test_patch_embed_matmul_matches_conv(rng):
+    """embed_matmul patchifier must be the EXACT same linear map as the
+    VALID strided conv, sharing one param tree (checkpoints and the HF
+    port are layout-identical). Image width 50 also exercises the
+    crop-the-remainder contract (50 = 6*8 + 2 px dropped)."""
+    cfg_mm = tiny(image_size=(32, 50), embed_matmul=True)
+    cfg_cv = tiny(image_size=(32, 50), embed_matmul=False)
+    x = jnp.asarray(rng.normal(size=(2, 32, 50, 3)), jnp.float32)
+
+    vit_mm = VisionTransformer(cfg_mm)
+    params = vit_mm.init(jax.random.PRNGKey(0), x)
+    pe = params["params"]["patch_embed"]
+    assert pe["kernel"].shape == (8, 8, 3, cfg_mm.hidden_size)
+
+    out_mm = vit_mm.apply(params, x)
+    out_cv = VisionTransformer(cfg_cv).apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_mm["patch_features"]),
+        np.asarray(out_cv["patch_features"]), atol=2e-5, rtol=2e-5)

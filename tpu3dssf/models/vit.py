@@ -75,6 +75,12 @@ class ViTConfig:
     # weights are per-output-channel symmetric, activations per-token
     # dynamic symmetric. Attention + patch embed stay bf16.
     quant_int8: bool = False
+    # Patchify as reshape + ONE MXU matmul instead of nn.Conv — the
+    # identical linear map (kernel reshaped (P*P*3, C), same param tree
+    # so checkpoints/HF ports are interchangeable; tests assert
+    # equality). The conv lowering is slower on TPU and its ViT-L-width
+    # HLO is implicated in the remote-compiler crash (PERF.md).
+    embed_matmul: bool = True
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -305,6 +311,34 @@ class ViTBlock(nn.Module):
         return x + h.astype(x.dtype)
 
 
+class _PatchEmbedMatmul(nn.Module):
+    """Conv-free patchifier: crop → (B, gh*gw, P*P*3) → one MXU matmul.
+
+    Parameter-compatible with ``nn.Conv(name="patch_embed")``: the
+    kernel keeps the conv layout (P, P, 3, C) — flattening the patch
+    pixels row-major as (kh, kw, cin) makes ``x @ kernel.reshape(-1, C)``
+    the exact same linear map as the VALID strided conv.
+    """
+
+    features: int
+    patch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        P, C = self.patch, self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (P, P, 3, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        B, H, W, _ = images.shape
+        gh, gw = H // P, W // P
+        x = images[:, :gh * P, :gw * P, :].astype(self.dtype)
+        x = x.reshape(B, gh, P, gw, P, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
+        w = kernel.astype(self.dtype).reshape(P * P * 3, C)
+        return x @ w + bias.astype(self.dtype)
+
+
 class VisionTransformer(nn.Module):
     """DINO-style ViT: images (B, H, W, 3) → patch + global tokens."""
 
@@ -320,11 +354,15 @@ class VisionTransformer(nn.Module):
 
         # VALID padding: 1138 px / 16 → 71 patches with 2 px dropped,
         # matching the HF conv patchifier (grid 40x71, fusion_model.py:172)
-        x = nn.Conv(C, kernel_size=(cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size),
-                    padding="VALID", dtype=cfg.dtype,
-                    name="patch_embed")(images)
-        x = x.reshape(B, gh * gw, C)
+        if cfg.embed_matmul:
+            x = _PatchEmbedMatmul(C, cfg.patch_size, dtype=cfg.dtype,
+                                  name="patch_embed")(images)
+        else:
+            x = nn.Conv(C, kernel_size=(cfg.patch_size, cfg.patch_size),
+                        strides=(cfg.patch_size, cfg.patch_size),
+                        padding="VALID", dtype=cfg.dtype,
+                        name="patch_embed")(images)
+            x = x.reshape(B, gh * gw, C)
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C))
         tokens = [jnp.broadcast_to(cls, (B, 1, C)).astype(cfg.dtype)]
