@@ -80,8 +80,9 @@ def _check_pool(grid, mask):
     np.testing.assert_array_equal(g_out[par], coarse)
 
 
-def test_forward_shapes_and_mask(rng):
-    cfg = tiny_config()
+@pytest.mark.parametrize("collapse", [True, False])
+def test_forward_shapes_and_mask(rng, collapse):
+    cfg = tiny_config(collapse_pooled_orders=collapse)
     feat, grid, mask = _inputs(rng)
     model = PointTransformerV3(cfg)
     params = model.init(jax.random.PRNGKey(0), feat, grid, mask)
@@ -138,12 +139,13 @@ def test_permutation_invariance(rng):
         np.asarray(out1)[:, perm], np.asarray(out2), atol=2e-5)
 
 
-def test_three_stage_pyramid(rng):
+@pytest.mark.parametrize("collapse", [True, False])
+def test_three_stage_pyramid(rng, collapse):
     cfg = tiny_config(
         enc_depths=(1, 1, 1), enc_channels=(8, 16, 16),
         enc_heads=(1, 2, 2), enc_window=(16, 16, 16),
         dec_depths=(1, 1), dec_channels=(8, 16), dec_heads=(1, 2),
-        dec_window=(16, 16),
+        dec_window=(16, 16), collapse_pooled_orders=collapse,
     )
     feat, grid, mask = _inputs(rng, B=1, N=128)
     model = PointTransformerV3(cfg)
@@ -151,6 +153,43 @@ def test_three_stage_pyramid(rng):
     out, _ = model.apply(params, feat, grid, mask)
     assert out.shape == (1, 128, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_collapsed_orders_match_reserialize_on_nonneg_grid(rng):
+    """collapse_pooled_orders=True must EXACTLY reproduce the
+    re-serializing path whenever no Morton comparison can flip between
+    the two lattice translations — true for all-non-negative coords,
+    where c + 2^14 and c + 2^15 share constant high bits across every
+    point, so the re-derived coarse sort is the identity and both modes
+    run the same values through the same blocks. Multi-order, multi-
+    stage config so relative perms and the decoder parent path are all
+    exercised in collapsed mode."""
+    N = 128
+    pts = (rng.random((1, N, 3)) * 8).astype(np.float32)
+    feat = np.concatenate(
+        [pts, rng.random((1, N, 1)).astype(np.float32)], axis=-1)
+    grid = np.floor(pts / 0.25).astype(np.int32)
+    assert (grid >= 0).all()
+    mask = np.ones((1, N), bool)
+    mask[:, N - 10:] = False
+    feat, grid, mask = jnp.asarray(feat), jnp.asarray(grid), \
+        jnp.asarray(mask)
+    kw = dict(
+        orders=("z", "z-trans", "hilbert"),
+        enc_depths=(2, 2, 2), enc_channels=(8, 16, 16),
+        enc_heads=(1, 2, 2), enc_window=(16, 16, 16),
+        dec_depths=(2, 2), dec_channels=(8, 16), dec_heads=(1, 2),
+        dec_window=(16, 16),
+    )
+    m_new = PointTransformerV3(tiny_config(collapse_pooled_orders=True,
+                                           **kw))
+    m_old = PointTransformerV3(tiny_config(collapse_pooled_orders=False,
+                                           **kw))
+    params = m_new.init(jax.random.PRNGKey(0), feat, grid, mask)
+    out_new, _ = m_new.apply(params, feat, grid, mask)
+    out_old, _ = m_old.apply(params, feat, grid, mask)
+    np.testing.assert_array_equal(np.asarray(out_new),
+                                  np.asarray(out_old))
 
 
 def test_remat_matches_plain_and_backprops(rng):
@@ -355,14 +394,16 @@ def test_scan_blocks_forward_and_grads(rng):
 
 
 def test_serialized_attention_packed_matches_fallback(rng):
-    """use_pallas + K % 128 == 0 routes windows through the packed flash
-    kernel (one attention kernel for ViT and PTv3); it must agree with
-    the XLA window_attention fallback, masked tail and permutation
-    included."""
+    """use_pallas + K % 128 == 0 + C % 128 == 0 routes windows through
+    the packed flash kernel (one attention kernel for ViT and PTv3); it
+    must agree with the XLA window_attention fallback, masked tail and
+    permutation included. C must be a multiple of 128 — the packed
+    kernel's channel-block in_specs fail the real-TPU Mosaic lowering
+    otherwise (PTv3 stages with C ∈ {32, 64} take the window kernel)."""
     from jax.experimental.pallas import tpu as pltpu
     from tpu3dssf.models.ptv3 import SerializedAttention
 
-    B, N, C, H, K = 2, 256, 32, 2, 128
+    B, N, C, H, K = 2, 256, 128, 2, 128
     x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
     mask = np.ones((B, N), bool)
     mask[:, N - 37:] = False          # ragged tail inside the last window

@@ -206,8 +206,9 @@ def _rot_halves(x1, x2, cos, sin):
     return x1 * cos - x2 * sin, x1 * sin + x2 * cos
 
 
-def _packed_kernel(heads, q_scale, use_rope, use_scratch, qkv_q_ref,
-                   k_ref, v_ref, bias_ref, *rope_refs_and_out):
+def _packed_kernel(heads, q_scale, use_rope, use_scratch, whole,
+                   qkv_q_ref, k_ref, v_ref, bias_ref,
+                   *rope_refs_and_out):
     """Packed-layout flash attention: everything stays (rows, C).
 
     qkv_q_ref: (1, Bq, C) — this q-block's channels; k_ref/v_ref:
@@ -233,11 +234,15 @@ def _packed_kernel(heads, q_scale, use_rope, use_scratch, qkv_q_ref,
     C = o_ref.shape[-1]
     D = C // heads
     D2 = D // 2
+    # whole mode: refs carry all 3C channels (C % 128 != 0 forbids
+    # C-wide channel blocks) — k/v offsets move in-kernel
+    k_base = C if whole else 0
+    v_base = 2 * C if whole else 0
     for h in range(heads):
         lo = h * D
         q = qkv_q_ref[0, :, lo:lo + D]                # (Bq, D)
-        k = k_ref[0, :, lo:lo + D]                    # (N, D)
-        v = v_ref[0, :, lo:lo + D]
+        k = k_ref[0, :, k_base + lo:k_base + lo + D]  # (N, D)
+        v = v_ref[0, :, v_base + lo:v_base + lo + D]
         if use_rope:
             # scale folded into the f32 rotation pass
             q1, q2 = _rot_halves(
@@ -295,15 +300,24 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
         raise ValueError(
             f"flash_attention_packed: N={N} must be a multiple of "
             f"block_q={block_q} (pad the sequence; see pick_block_q)")
+    # Mosaic requires a block's last dim to divide 128 or equal the
+    # array dim. C-wide channel blocks need C % 128 == 0; otherwise
+    # fall back to whole-3C blocks (always legal) with the q/k/v
+    # channel offsets applied inside the kernel instead. Whole mode
+    # keeps k/v blocks at 3x width, so performance-critical small-C
+    # callers (PTv3 C=32/64 stages) route to window_attention instead.
+    whole = bool(C % 128)
     nq = N // block_q
     bias = key_bias.astype(jnp.float32)
     use_rope = rope_cos is not None
 
     def cspec(which, rows):
+        cols = C3 if whole else C
+        wh = 0 if whole else which
         if rows == N:  # full-sequence k/v block, channel-offset `which`
-            return pl.BlockSpec((1, N, C), lambda b, i, w=which: (b, 0, w),
+            return pl.BlockSpec((1, N, cols), lambda b, i, w=wh: (b, 0, w),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, rows, C), lambda b, i, w=which: (b, i, w),
+        return pl.BlockSpec((1, rows, cols), lambda b, i, w=wh: (b, i, w),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -334,7 +348,7 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
     return pl.pallas_call(
         functools.partial(_packed_kernel, heads,
                           1.0 if q_scale is None else q_scale, use_rope,
-                          use_scratch),
+                          use_scratch, whole),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         grid=(B, nq),
         in_specs=in_specs,

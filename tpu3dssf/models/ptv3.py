@@ -21,8 +21,11 @@ kernel, designed around static shapes:
 Deliberate divergences from upstream (documented for the parity audit):
 LayerNorm everywhere (upstream mixes BatchNorm into embedding/pooling —
 BN is hostile to masked fixed-capacity batches), deterministic cycling
-through serialization orders per block instead of random shuffling, and
-capacity halving per pooling stage (upstream is fully dynamic).
+through serialization orders per block instead of random shuffling,
+capacity halving per pooling stage (upstream is fully dynamic), and —
+with the default ``collapse_pooled_orders`` — pooled stages inherit the
+collapse of the stage-0 curve instead of re-deriving the curve from
+coarse coords (hierarchy makes the re-sort redundant; see PTv3Config).
 """
 
 from __future__ import annotations
@@ -68,6 +71,16 @@ class PTv3Config:
     # path. Set False for raw/duplicated grid coords: the first pooling
     # then uses exact segment_max (run-max silently truncates runs > 8).
     unique_cells: bool = True
+    # Space-filling curves are hierarchical: a stream sorted along the
+    # stage's curve stays sorted (run-collapsed) after 2x grid pooling,
+    # so coarser stages need NO re-sort and NO re-gather for the CPE
+    # order — their stream order is the collapse of the stage-0 curve
+    # (a Morton/Hilbert curve of the half-offset lattice: bit j of
+    # c + 2^15 becomes c>>1 + 2^14, etc.). This shifts coarse window
+    # boundaries slightly vs re-deriving the curve from coarse coords
+    # (documented divergence; the reference re-serializes per level) —
+    # set False for the round-2-exact re-serializing behavior.
+    collapse_pooled_orders: bool = True
     # Compile each stage's blocks as ONE nn.scan over stacked params
     # instead of `depth` unrolled bodies (22 → 9 block bodies in the
     # default config): much less HLO for the remote AOT compiler, at
@@ -333,7 +346,12 @@ class SerializedAttention(nn.Module):
 
         W = N // K
         key_mask = mask_s.reshape(B * W, K)
-        if self.use_pallas and K % 128 == 0:
+        # the packed kernel's in_specs slice qkv in C-wide channel
+        # blocks — Mosaic requires the block's last dim to divide 128
+        # (or equal 3C), so stages with C ∈ {32, 64} must take the
+        # (W, K, H, D) window kernel instead (interpret-mode tests do
+        # not enforce this; the real-TPU lowering does)
+        if self.use_pallas and K % 128 == 0 and C % 128 == 0:
             # windows are just batch rows of a full MHA — reuse the
             # packed flash kernel (one attention kernel for ViT AND
             # PTv3): qkv stays (B·W, K, 3C) straight off the Dense,
@@ -615,13 +633,27 @@ class PointTransformerV3(nn.Module):
                     dtype=cfg.dtype, name=f"pool{s}",
                 )(x, grid, msk)
                 pools.append((parent, parent_ok))
-            perms_orig = _serialize_perms(grid, msk,
-                                          used_orders(cfg.enc_depths[s]))
-            perm_c, inv_c, perms = sorted_space(perms_orig)
-            x = jnp.take_along_axis(x, perm_c[..., None], axis=1)
-            grid = jnp.take_along_axis(grid, perm_c[..., None], axis=1)
-            msk = jnp.take_along_axis(msk, perm_c, axis=1)
-            inv_cpes.append(inv_c)
+            if s > 0 and cfg.collapse_pooled_orders:
+                # hierarchical curve: the pooled stream is ALREADY in
+                # this stage's CPE order (see config docstring) — skip
+                # the re-sort and the x/grid/mask gathers; fresh perms
+                # for the other orders ARE relative (grid is stored in
+                # the stream's sorted space)
+                need = tuple(o for o in used_orders(cfg.enc_depths[s])
+                             if o != cpe_order)
+                perms = {cpe_order: (None, None)}
+                if need:
+                    perms.update(_serialize_perms(grid, msk, need))
+                inv_cpes.append(None)
+            else:
+                perms_orig = _serialize_perms(
+                    grid, msk, used_orders(cfg.enc_depths[s]))
+                perm_c, inv_c, perms = sorted_space(perms_orig)
+                x = jnp.take_along_axis(x, perm_c[..., None], axis=1)
+                grid = jnp.take_along_axis(grid, perm_c[..., None],
+                                           axis=1)
+                msk = jnp.take_along_axis(msk, perm_c, axis=1)
+                inv_cpes.append(inv_c)
             x = run_blocks(x, perms, msk, cfg.enc_depths[s],
                            cfg.enc_channels[s], cfg.enc_heads[s],
                            cfg.enc_window[s], f"enc{s}")
@@ -631,9 +663,12 @@ class PointTransformerV3(nn.Module):
         for d in reversed(range(cfg.num_stages - 1)):
             skip_x, skip_grid, skip_mask, skip_perms = skips[d]
             parent, parent_ok = pools[d]
-            # parent points at coarse VID slots; the coarse stream is in
-            # the coarse stage's sorted space — compose with its inverse
-            parent = _compose_perm(inv_cpes[d + 1], parent)
+            # parent points at coarse VID slots; when the coarse stream
+            # was re-sorted into its own curve order, compose with that
+            # sort's inverse (None ⇒ the stream kept the collapsed
+            # order and VID slots ARE stream slots)
+            if inv_cpes[d + 1] is not None:
+                parent = _compose_perm(inv_cpes[d + 1], parent)
             x = SerializedUnpooling(
                 cfg.dec_channels[d], dtype=cfg.dtype, name=f"unpool{d}",
             )(x, skip_x, parent, parent_ok, skip_mask)
