@@ -9,6 +9,10 @@ keeps the HLO small, and stages can be compiled separately:
   BENCH_VITL_MODE=encode   one jitted 6-image encode (default)
   BENCH_VITL_MODE=block    a single ViT-L block, x24 estimate
   BENCH_VITL_MODE=einsum   XLA einsum attention instead of Pallas
+  BENCH_VITL_MODE=loop     per-layer dispatch (make_looped_encode):
+                           three small programs instead of one 24-layer
+                           jit — compiles on this tunnel, measures the
+                           FULL frame (not a x24 extrapolation)
 
 Run bare (grabs the TPU): python scripts/bench_vitl.py
 """
@@ -77,6 +81,45 @@ def main():
     vit = VisionTransformer(cfg)
 
     imgs = jnp.asarray(rng.normal(size=(6, 640, 1138, 3)), dtype)
+    if mode == "loop":
+        from tpu3dssf.models.vit import make_looped_encode
+        # time_device would trace the whole encode into ONE fori_loop
+        # program — the very compile that dies. Measure host-side with
+        # the same slope construction instead: chain each frame's input
+        # on the previous frame's reduced output (no reordering or
+        # elision possible), fetch one scalar as the completion fence,
+        # and take (wall(4n)-wall(n))/3n so fixed RTT cancels.
+        enc = make_looped_encode(cfg, params, donate=False)
+
+        @jax.jit
+        def perturb(im, acc):
+            return im + (acc * 0).astype(im.dtype)
+
+        @jax.jit
+        def reduce_(out, acc):
+            return acc + jnp.sum(out.astype(jnp.float32))
+
+        def run(n):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = enc(perturb(imgs, acc))
+                acc = reduce_(out, acc)
+            float(acc)
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        run(1)  # compile embed + block + final (+ helpers)
+        compile_s = time.perf_counter() - t0
+        n1, n2 = 2, 8
+        w1 = min(run(n1) for _ in range(2))
+        w2 = min(run(n2) for _ in range(2))
+        dt = (w2 - w1) / (n2 - n1)
+        print(f"ViT-L encode 6 imgs (loop, 24 real layers): "
+              f"{dt*1e3:.1f} ms/frame ({6*2840/dt:,.0f} tok/s) "
+              f"[compile {compile_s:.0f}s; wall({n1})={w1:.2f}s "
+              f"wall({n2})={w2:.2f}s]", flush=True)
+        return
     f = jax.jit(lambda im: vit.apply(params, im)["patch_features"])
     t0 = time.perf_counter()
     dt = time_device(f, imgs, iters=8)

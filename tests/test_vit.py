@@ -256,3 +256,23 @@ def test_patch_embed_matmul_matches_conv(rng):
     np.testing.assert_allclose(
         np.asarray(out_mm["patch_features"]),
         np.asarray(out_cv["patch_features"]), atol=2e-5, rtol=2e-5)
+
+
+def test_looped_encode_matches_one_program(rng):
+    """make_looped_encode (per-layer dispatch — the ViT-L route around
+    the remote AOT compiler limit) must reproduce the one-jit scan
+    encode to fusion-reassociation noise (same submodules and op order;
+    measured max |Δ| ≈ 4e-7 in f32 — program-boundary fusion differs).
+    Covers rope + registers and the pos-embed variant."""
+    from tpu3dssf.models.vit import make_looped_encode
+
+    for kw in (dict(use_rope=True, num_register_tokens=2),
+               dict(use_rope=False)):
+        cfg = tiny(num_layers=3, scan_layers=True, **kw)
+        vit = VisionTransformer(cfg)
+        x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)), jnp.float32)
+        params = vit.init(jax.random.PRNGKey(0), x)
+        ref = vit.apply(params, x)["patch_features"]
+        enc = make_looped_encode(cfg, params, donate=False)
+        np.testing.assert_allclose(np.asarray(enc(x)), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

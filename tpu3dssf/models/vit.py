@@ -28,6 +28,7 @@ checkpoint — this environment has no network egress).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -504,6 +505,96 @@ def quantize_vit(params, config: ViTConfig):
     out = dict(params)
     out["params"] = p
     return jax.tree.map(lambda x: x, out), new_cfg
+
+
+def make_looped_encode(config: ViTConfig, params, donate: bool = True):
+    """Per-layer-dispatch encode: compile ONE block program, call it
+    ``num_layers`` times with per-layer param slices.
+
+    The one-program 24-layer ViT-L encode exceeds this environment's
+    remote AOT compile service (PERF.md "ViT-L" — broken pipe after
+    ~30 min, reproduced 5x, model-independent), while a single ViT-L
+    block compiles in ~1-2 min. Splitting the encode into three tiny
+    programs (embed / block x L / final) sidesteps the compiler limit
+    with no algorithmic change: dispatches are async, so L back-to-back
+    block launches pipeline on device and the only added cost is L-1
+    enqueues overlapped with ~10 ms/block of compute. The block buffer
+    is donated so the token carry is updated in place.
+
+    Requires ``scan_layers=True`` params (stacked (L, ...) leaves under
+    "blocks"). Returns ``encode(images) -> patch_features``, equal to
+    ``VisionTransformer(config).apply(params, images)["patch_features"]``
+    (exactly — same submodules, same order of ops; tested).
+    """
+    cfg = config
+    if not cfg.scan_layers:
+        raise ValueError("make_looped_encode needs scan_layers=True "
+                         "(stacked per-layer params)")
+    p = params["params"]
+    L = cfg.num_layers
+    # per-layer param trees, sliced once at setup (device-side gathers)
+    layer_params = [jax.tree.map(lambda a, i=i: a[i], p["blocks"])
+                    for i in range(L)]
+    gh, gw = cfg.grid_size
+    n_pre = cfg.num_prefix_tokens
+    N = n_pre + cfg.num_patches
+    Np = ((N + 127) // 128) * 128 if cfg.use_flash else N
+    rope = (_rope_angles(gh, gw, cfg.hidden_size // cfg.num_heads,
+                         cfg.rope_theta) if cfg.use_rope else None)
+    if rope is not None and Np != N:
+        rope = jnp.pad(rope, ((0, Np - N), (0, 0)))
+
+    embed_mod = (_PatchEmbedMatmul(cfg.hidden_size, cfg.patch_size,
+                                   dtype=cfg.dtype)
+                 if cfg.embed_matmul else
+                 nn.Conv(cfg.hidden_size,
+                         kernel_size=(cfg.patch_size, cfg.patch_size),
+                         strides=(cfg.patch_size, cfg.patch_size),
+                         padding="VALID", dtype=cfg.dtype))
+
+    @jax.jit
+    def embed(images):
+        B = images.shape[0]
+        x = embed_mod.apply({"params": p["patch_embed"]}, images)
+        x = x.reshape(B, cfg.num_patches, cfg.hidden_size)
+        toks = [jnp.broadcast_to(p["cls_token"],
+                                 (B, 1, cfg.hidden_size)).astype(cfg.dtype)]
+        if cfg.num_register_tokens:
+            toks.append(jnp.broadcast_to(
+                p["register_tokens"],
+                (B, cfg.num_register_tokens,
+                 cfg.hidden_size)).astype(cfg.dtype))
+        x = jnp.concatenate(toks + [x], axis=1)
+        if not cfg.use_rope:
+            x = x + p["pos_embed"].astype(cfg.dtype)
+        key_bias = None
+        if cfg.use_flash and Np != N:
+            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+            key_bias = jnp.zeros((B, 1, Np), jnp.float32).at[
+                :, :, N:].set(-1e9)
+        return x, key_bias
+
+    block = ViTBlock(cfg)
+
+    @functools.partial(jax.jit,
+                       donate_argnums=(1,) if donate else ())
+    def block_fn(lp, x, key_bias):
+        return block.apply({"params": lp}, x, rope, key_bias)
+
+    @jax.jit
+    def final(x):
+        x = x[:, :N]
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype).apply(
+            {"params": p["norm"]}, x)
+        return x[:, n_pre:]
+
+    def encode(images):
+        x, key_bias = embed(images)
+        for lp in layer_params:
+            x = block_fn(lp, x, key_bias)
+        return final(x)
+
+    return encode
 
 
 def qkv_tp_permutation(hidden_size: int, num_heads: int,
