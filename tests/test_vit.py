@@ -276,3 +276,24 @@ def test_looped_encode_matches_one_program(rng):
         enc = make_looped_encode(cfg, params, donate=False)
         np.testing.assert_allclose(np.asarray(enc(x)), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_image_encode_fn_looped_matches_one_jit(rng):
+    """cli/common.py's vit_looped route: make_image_encode_fn(looped=
+    True) must match the one-jit encode fn (preprocess + reshape
+    included) on the frozen-ViT contract."""
+    from tpu3dssf.train.loop import make_image_encode_fn
+
+    cfg = tiny(num_layers=2, scan_layers=True, use_rope=True,
+               num_register_tokens=1)
+    vit = VisionTransformer(cfg)
+    imgs = (rng.random((1, 2, 24, 40, 3)) * 255).astype(np.uint8)
+    imgs = jnp.asarray(imgs)
+    params = vit.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1,) + cfg.image_size + (3,), jnp.float32))
+    one = make_image_encode_fn(vit, params, cfg.image_size)
+    loop = make_image_encode_fn(vit, params, cfg.image_size, looped=True)
+    np.testing.assert_allclose(np.asarray(loop(imgs)),
+                               np.asarray(one(imgs)),
+                               atol=1e-5, rtol=1e-5)

@@ -104,7 +104,12 @@ def build_image_encoder(cfg: Config):
     from tpu3dssf.models.vit import fold_layerscale
     params, folded_cfg = fold_layerscale(params, vit_cfg)
     vit = VisionTransformer(folded_cfg)
-    encode = make_image_encode_fn(vit, params, vit_cfg.image_size, dtype)
+    looped = (cfg.tpu.vit_looped == "on" or
+              (cfg.tpu.vit_looped == "auto" and
+               cfg.image_encoder == "dinov3_large" and
+               jax.default_backend() != "cpu"))
+    encode = make_image_encode_fn(vit, params, vit_cfg.image_size, dtype,
+                                  looped=looped)
     return encode, vit_cfg
 
 

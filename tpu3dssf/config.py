@@ -53,6 +53,12 @@ class TPUParams:
     devoxelize_mode: str = "own"       # "own" | "nearest" (parity)
     use_pallas: bool = True
     remat: bool = False                # jax.checkpoint PTv3 blocks
+    # ViT encode as per-layer dispatches (models/vit.py
+    # make_looped_encode) instead of one jitted program — required for
+    # ViT-L on environments whose AOT compiler rejects the 24-layer
+    # program (PERF.md "ViT-L"). "auto": looped iff image_encoder is
+    # dinov3_large on a TPU backend.
+    vit_looped: str = "auto"           # "auto" | "on" | "off"
     compute_dtype: str = "bfloat16"    # model compute dtype
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel mesh
     dataset: str = "nuscenes"          # "nuscenes" | "synthetic"
@@ -146,6 +152,7 @@ def load_config(path_or_dict) -> Config:
         devoxelize_mode=tp.get("devoxelize_mode", "own"),
         use_pallas=bool(tp.get("use_pallas", True)),
         remat=bool(tp.get("remat", False)),
+        vit_looped=str(tp.get("vit_looped", "auto")),
         compute_dtype=tp.get("compute_dtype", "bfloat16"),
         mesh_shape=mesh_shape,
         dataset=tp.get("dataset", "nuscenes"),
@@ -157,6 +164,10 @@ def load_config(path_or_dict) -> Config:
     if tpu.voxel_capacity % tpu.window_size != 0:
         raise ValueError(
             "tpu_params.voxel_capacity must be a multiple of window_size")
+    if tpu.vit_looped not in ("auto", "on", "off"):
+        raise ValueError(
+            f"tpu_params.vit_looped must be auto|on|off, got "
+            f"{tpu.vit_looped!r}")
 
     weights = tuple(float(w) for w in ds.get("class_weights", ()))
     mlp_class = int(tr.get("mlp_class", 16))

@@ -33,14 +33,34 @@ from tpu3dssf.utils.logging import MetricLogger, NullLogger
 
 
 def make_image_encode_fn(vit_model, vit_params, encoder_hw,
-                         compute_dtype=jnp.float32):
-    """jit fn: raw images (B, N_cam, H, W, 3) uint8 → patch tokens.
+                         compute_dtype=jnp.float32, looped=False):
+    """Encode fn: raw images (B, N_cam, H, W, 3) uint8 → patch tokens.
 
     The ViT is frozen (reference excludes it from the optimizer,
     SURVEY.md §3.1 note), so its params are closure constants and the
-    whole 6-view batch is one forward.
+    whole 6-view batch is one forward. ``looped=True`` dispatches the
+    transformer per layer (models/vit.py make_looped_encode) instead of
+    jitting it as one program — required for ViT-L where the one-program
+    encode exceeds this environment's AOT compiler (PERF.md "ViT-L").
     """
-    from tpu3dssf.models.vit import preprocess_images
+    from tpu3dssf.models.vit import make_looped_encode, preprocess_images
+
+    if looped:
+        enc = make_looped_encode(vit_model.config, vit_params)
+
+        @jax.jit
+        def pre(images):
+            B, n_cam = images.shape[:2]
+            x = preprocess_images(images, encoder_hw, dtype=compute_dtype)
+            return x.reshape((B * n_cam,) + x.shape[2:])
+
+        def encode(images):
+            B, n_cam = images.shape[:2]
+            tokens = enc(pre(images))
+            return tokens.reshape(B, n_cam, tokens.shape[1],
+                                  tokens.shape[2])
+
+        return encode
 
     @jax.jit
     def encode(images):
