@@ -66,14 +66,28 @@ def main():
           file=sys.stderr)
 
     # ---- models ----
-    vit_cfg = dinov3_small()
+    # BENCH_BACKBONE=vitl: BASELINE config 5 (ViT-L/16 backbone) — the
+    # encode runs via the looped per-layer route (make_looped_encode;
+    # the one-program ViT-L jit exceeds this environment's AOT
+    # compiler, PERF.md "ViT-L") and the frame is measured with the
+    # chained host-side slope instead of time_device (which would
+    # re-trace the loop into exactly that one program).
+    backbone = os.environ.get("BENCH_BACKBONE", "vits")
+    if backbone == "vitl":
+        from tpu3dssf.models.vit import dinov3_large
+        vit_cfg = dinov3_large()
+    else:
+        vit_cfg = dinov3_small()
     vit_cfg = type(vit_cfg)(**{**vit_cfg.__dict__, "dtype": dtype,
                                "use_flash": on_tpu,
                                "scan_layers": True})
     vit = VisionTransformer(vit_cfg)
 
     pipe_cfg = PipelineConfig(
-        fusion=FusionConfig(dtype=dtype),
+        fusion=FusionConfig(patch_tok_dim=vit_cfg.hidden_size,
+                            patch_size=vit_cfg.patch_size,
+                            encoder_size=vit_cfg.image_size,
+                            dtype=dtype),
         ptv3=PTv3Config(enc_window=(WINDOW,) * 5, dec_window=(WINDOW,) * 4,
                         use_pallas=on_tpu, dtype=dtype),
         voxel_size=0.1,
@@ -135,6 +149,54 @@ def main():
     def fused_infer(imgs, pts, pv, cam_k, l2c):
         tokens = encode(imgs)
         return model.apply(params, pts, pv, tokens, cam_k, l2c)
+
+    if backbone == "vitl":
+        from tpu3dssf.models.vit import make_looped_encode
+        enc = make_looped_encode(vit_cfg, vit_params)
+
+        @jax.jit
+        def pre(imgs, acc):
+            x = preprocess_images(imgs + (acc * 0).astype(imgs.dtype),
+                                  IMAGE_HW, dtype=dtype)
+            return x.reshape((BATCH * 6,) + x.shape[2:])
+
+        @jax.jit
+        def rest(tokens, pts, pv, cam_k, l2c, acc):
+            t = tokens.reshape(BATCH, 6, tokens.shape[1],
+                               tokens.shape[2])
+            out = model.apply(params, pts, pv, t, cam_k, l2c)
+            return acc + sum(jnp.sum(l.astype(jnp.float32))
+                             for l in jax.tree.leaves(out)
+                             if jnp.issubdtype(l.dtype, jnp.number))
+
+        def run(n):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                toks = enc(pre(images, acc))
+                acc = rest(toks, points, valid, K, Rt, acc)
+            float(acc)
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        run(1)
+        print(f"[bench] vitl compile+warmup {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        n1, n2 = 2, 8
+        w1 = min(run(n1) for _ in range(2))
+        w2 = min(run(n2) for _ in range(2))
+        dt = (w2 - w1) / (n2 - n1)
+        pts_per_sec = POINT_CAP * BATCH / dt
+        print(f"[bench] e2e(vitl) {dt*1e3:.1f} ms/batch-of-{BATCH} "
+              f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "fused_points_per_sec_per_chip_vitl",
+            "value": round(pts_per_sec, 1),
+            "unit": "points/s",
+            "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC,
+                                 3),
+        }))
+        return
 
     # ---- measure ----
     # Device-side timing: host-loop timings are unreliable over the
