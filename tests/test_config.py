@@ -145,3 +145,13 @@ def test_image_encoder_dinov3_large_accepted(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         load_config(str(p))
+
+
+def test_vit_looped_validation():
+    d = _base()
+    d["tpu_params"] = {"vit_looped": "on"}
+    assert load_config(d).tpu.vit_looped == "on"
+    assert load_config(_base()).tpu.vit_looped == "auto"
+    d["tpu_params"] = {"vit_looped": "sometimes"}
+    with pytest.raises(ValueError, match="vit_looped"):
+        load_config(d)
