@@ -297,3 +297,20 @@ def test_image_encode_fn_looped_matches_one_jit(rng):
     np.testing.assert_allclose(np.asarray(loop(imgs)),
                                np.asarray(one(imgs)),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_looped_encode_donation_reusable(rng):
+    """donate=True (the production default) donates the token carry
+    between block dispatches; repeated calls on the same input buffers
+    must keep working and agree with themselves (a donation bug would
+    corrupt the second call's inputs)."""
+    from tpu3dssf.models.vit import make_looped_encode
+
+    cfg = tiny(num_layers=2, scan_layers=True)
+    vit = VisionTransformer(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+    enc = make_looped_encode(cfg, params)
+    first = np.asarray(enc(x))
+    second = np.asarray(enc(x))
+    np.testing.assert_array_equal(first, second)
