@@ -51,6 +51,30 @@ def check(B, N, C, H):
     assert err < 0.05, (mode, err)
 
 
+def check_window(W, K, H, D):
+    """The Pallas window_attention kernel itself (PTv3 C=32/64 stages
+    still route here, not to the packed kernel) vs its XLA fallback."""
+    import jax
+    import jax.numpy as jnp
+    from tpu3dssf.kernels.window_attention import window_attention
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+    mask = np.ones((W, K), bool)
+    mask[:, K - 37:] = False
+    mask = jnp.asarray(mask)
+    out_p = np.asarray(jax.block_until_ready(jax.jit(
+        lambda *a: window_attention(*a, True))(q, k, v, mask)),
+        np.float32)
+    out_x = np.asarray(window_attention(q, k, v, mask, False), np.float32)
+    err = float(np.abs(out_p - out_x).max())
+    print(f"window_attention Pallas (W={W}, K={K}, H={H}, D={D}): "
+          f"max|err| vs XLA = {err:.4f}")
+    assert err < 0.05, err
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -59,6 +83,7 @@ def main():
     print("backend:", jax.default_backend())
     check(B=25, N=1024, C=32, H=2)     # PTv3 s0 geometry -> whole-3C
     check(B=4, N=1024, C=128, H=2)     # PTv3 s2 geometry -> channel-block
+    check_window(W=25, K=1024, H=2, D=16)   # PTv3 s0 window route
     print("OK")
 
 

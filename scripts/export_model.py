@@ -27,19 +27,37 @@ def main():
     from tpu3dssf.cli import common
     from tpu3dssf.export import export_infer_bytes
 
+    import jax.numpy as jnp
+
     cfg = load_config(args.config)
     datasets = common.build_datasets(cfg)
     batch = common.example_batch(cfg, datasets)
-    encode_fn, vit_cfg = common.build_image_encoder(cfg)
-    del encode_fn  # artifact consumes patch tokens; the frozen encoder
-    #                exports the same way if needed (vit_looped must be
-    #                off — an exported artifact is ONE program)
+    # only the encoder GEOMETRY is needed here (token shape/dims for the
+    # fusion head) — don't build/weight-load/fold the whole frozen ViT
+    # (minutes of device work for dinov3_large) just to discard it. The
+    # artifact consumes patch tokens; the frozen encoder exports the
+    # same way if needed (vit_looped must be off — an exported artifact
+    # is ONE program).
+    if cfg.image_encoder == "none":
+        vit_cfg = None
+    else:
+        from tpu3dssf.models.vit import (dinov2_small, dinov3_small,
+                                         dinov3_large)
+        vit_cfg = {"dinov2": dinov2_small, "dinov3": dinov3_small,
+                   "dinov3_large": dinov3_large}[cfg.image_encoder]()
     model, _ = common.build_pipeline(cfg, vit_cfg)
     tokens = common.zero_tokens(cfg, vit_cfg, batch["points"].shape[0])
+    # trace with the dtype the serving encoder actually emits — the
+    # artifact's input signature is enforced at call time
+    dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" \
+        else jnp.float32
+    tokens = tokens.astype(dtype)
     if args.checkpoint:
         from tpu3dssf.train.checkpoint import restore_checkpoint
         state = common.init_state(cfg, model, batch, tokens)
-        state = restore_checkpoint(args.checkpoint, None, state)
+        state, _extra, step = restore_checkpoint(args.checkpoint, None,
+                                                 state)
+        print(f"restored checkpoint step {step}")
         params = state.params
     else:
         params = jax.jit(model.init)(

@@ -109,3 +109,23 @@ def test_qkv_tp_permutation_is_exact_relayout():
     want0 = np.concatenate([
         np.arange(t * C, t * C + (H // S) * D) for t in range(3)])
     np.testing.assert_array_equal(perm[: 3 * C // S], want0)
+
+
+def test_prepare_tp_params_rejects_einsum_path():
+    """Permuted qkv columns would silently scramble the einsum path's
+    head slices — the combination must be rejected, not computed."""
+    import pytest
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from tpu3dssf.models.vit import (ViTConfig, VisionTransformer,
+                                     prepare_tp_params)
+
+    cfg = ViTConfig(patch_size=8, image_size=(16, 16), hidden_size=16,
+                    num_layers=1, num_heads=2, use_flash=False)
+    vit = VisionTransformer(cfg)
+    params = vit.init(jax.random.PRNGKey(0),
+                      jax.numpy.zeros((1, 16, 16, 3)))
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    with pytest.raises(ValueError, match="use_flash"):
+        prepare_tp_params(params, cfg, mesh)

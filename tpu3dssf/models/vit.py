@@ -625,9 +625,19 @@ def prepare_tp_params(params, config: ViTConfig, mesh, axis: str = "model"):
 
     Works for unrolled and scan trees, float and W8A8 (quantize_vit)
     params. No-op permutation when the mesh axis has size 1.
+
+    Flash-path only: the einsum path (use_flash=False) reshapes qkv
+    assuming the ORIGINAL [q|k|v] head-ordered columns — permuted
+    params would silently scramble its head slices, so that combination
+    is rejected (plain vit_tp_shardings is all the einsum path needs).
     """
     import jax as _jax
 
+    if not config.use_flash:
+        raise ValueError(
+            "prepare_tp_params requires use_flash=True: the einsum "
+            "attention path assumes unpermuted [q|k|v] qkv columns "
+            "(use vit_tp_shardings alone for einsum TP)")
     shards = mesh.shape[axis]
     perm = qkv_tp_permutation(config.hidden_size, config.num_heads,
                               shards)
