@@ -297,3 +297,27 @@ def test_main_infer_mesh_sharded(tmp_path):
     from tpu3dssf.cli.main_infer import main as infer_main
     metrics = infer_main(["--config", path, "--split", "val"])
     assert 0.0 <= float(metrics["overall_acc"]) <= 1.0
+
+
+def test_checkpoint_roundtrip_sharded_state(tmp_path, rng):
+    """Preemption recovery on a mesh: save a REPLICATED (mesh-sharded)
+    train state, restore into a fresh single-device template — Orbax
+    must handle the sharded arrays, and the restored params must equal
+    the source. This is the multi-chip path of the reference's
+    checkpoint/resume contract (SURVEY §5)."""
+    from tpu3dssf.parallel import create_mesh, replicate
+
+    model = _tiny_model()
+    batch = _batch(rng)
+    state = _make_state(model, batch)
+    mesh = create_mesh((8,), ("data",))
+    state_r = replicate(state, mesh)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 5, state_r, extra={"best_acc": 0.25, "epoch": 5})
+
+    fresh = _make_state(model, batch)
+    restored, extra, step = restore_checkpoint(d, None, fresh)
+    assert step == 5 and extra["best_acc"] == 0.25
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
