@@ -28,6 +28,51 @@ import numpy as np
 
 BASELINE_POINTS_PER_SEC = 100_000.0
 
+
+def _wait_for_backend(max_wait_s=1500):
+    """Pre-flight: wait (bounded) for the TPU service before backend init.
+
+    The tunneled TPU service has multi-hour outages; a python process
+    that initializes the jax backend during one hangs at startup with no
+    timeout (CLAUDE.md trap 10). The driver runs this benchmark
+    unattended, so probe the backend in SUBPROCESSES (killable, unlike
+    an in-process init) and only let the main process touch jax once a
+    probe succeeds. After ``max_wait_s`` give up and proceed anyway —
+    identical to the old behavior. Opt out: BENCH_NO_PREFLIGHT=1.
+    """
+    import subprocess
+
+    if os.environ.get("BENCH_NO_PREFLIGHT") == "1":
+        return
+    if os.environ.get("PALLAS_AXON_POOL_IPS", None) == "":
+        return  # forced-CPU run: no TPU service involved
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=120)
+            if out.returncode == 0:
+                print(f"[bench] backend pre-flight ok: "
+                      f"{out.stdout.strip()}", file=sys.stderr)
+                return
+            reason = (out.stderr or out.stdout).strip()[-200:]
+        except subprocess.TimeoutExpired:
+            reason = "probe hung 120s (TPU service down or grant wedged)"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print("[bench] pre-flight budget exhausted; proceeding "
+                  "anyway", file=sys.stderr)
+            return
+        print(f"[bench] pre-flight attempt {attempt} failed ({reason}); "
+              f"retrying, {remaining:.0f}s left", file=sys.stderr)
+        # a killed hung probe can wedge the device grant for ~1-3 min
+        # (self-heals) — give it room before the next attempt
+        time.sleep(90)
+
 POINT_CAP = 34816      # ~one nuScenes sweep, multiple of 1024
 VOXEL_CAP = 25600      # ~34k pts at 0.1 m voxels, multiple of window
 WINDOW = 1024
@@ -39,6 +84,7 @@ IMAGE_HW = (640, 1138)  # dinov3 encoder input (camera.py:27)
 
 
 def main():
+    _wait_for_backend()
     import jax
 
     # persistent compilation cache: repeated bench runs on this machine
