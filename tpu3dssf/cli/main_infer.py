@@ -70,7 +70,14 @@ def main(argv=None):
 
     import jax.numpy as jnp
     cm = jnp.zeros((cfg.mlp_class, cfg.mlp_class), jnp.int32)
-    total_loss = correct = valid = it = 0
+    # device-side accumulators: converting any metric to python per
+    # batch would force a host sync each iteration and serialize the
+    # stream (consecutive frames overlap on device when the host keeps
+    # dispatching — the B=1 pipelining effect, PERF.md "Batching")
+    total_loss = jnp.float32(0.0)
+    correct = jnp.int32(0)
+    valid = jnp.int32(0)
+    it = 0
     total_points = 0
     t0 = time.perf_counter()
     def pad_to(batch, target):
@@ -116,12 +123,15 @@ def main(argv=None):
         with ctx:
             m = eval_step(state, batch, tokens)
         cm = cm + m["confusion"]
-        total_loss += float(m["loss"])
-        correct += int(m["correct"])
-        valid += int(m["valid"])
+        total_loss = total_loss + m["loss"].astype(jnp.float32)
+        correct = correct + m["correct"].astype(jnp.int32)
+        valid = valid + m["valid"].astype(jnp.int32)
         it += 1
-    jax.block_until_ready(cm)
+    jax.block_until_ready((cm, total_loss, correct, valid))
     dt = time.perf_counter() - t0
+    total_loss = float(total_loss)
+    correct = int(correct)
+    valid = int(valid)
 
     metrics = evaluate_from_confusion(cm, total_loss, correct, valid,
                                       max(it, 1))
