@@ -153,18 +153,25 @@ def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
                    verbose: bool = True):
     """Full-split evaluation → the reference ``evaluate`` metrics dict."""
     cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-    total_loss, correct, valid, it = 0.0, 0, 0, 0
+    # accumulate on device; a float()/int() per batch would host-sync
+    # every iteration and stop consecutive batches from overlapping on
+    # device (PERF.md "Batching": B=1 throughput lives on that overlap)
+    total_loss = jnp.float32(0.0)
+    correct = jnp.int32(0)   # same exactness/overflow envelope as cm
+    valid = jnp.int32(0)
+    it = 0
     for batch in pipeline_iter:
         batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
         m = eval_step(state, batch, tokens)
         cm = cm + m["confusion"]
-        total_loss += float(m["loss"])
-        correct += int(m["correct"])
-        valid += int(m["valid"])
+        total_loss = total_loss + m["loss"].astype(jnp.float32)
+        correct = correct + m["correct"].astype(jnp.int32)
+        valid = valid + m["valid"].astype(jnp.int32)
         it += 1
     metrics = jax.tree.map(
         lambda x: np.asarray(x),
-        evaluate_from_confusion(cm, total_loss, correct, valid, max(it, 1)))
+        evaluate_from_confusion(cm, float(total_loss), int(correct),
+                                int(valid), max(it, 1)))
     if verbose:
         print(format_metrics(metrics))
     if logger is not None and not isinstance(logger, NullLogger):
@@ -205,8 +212,27 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
         print(f"Epoch {epoch}/{num_epochs - 1}\n" + "-" * 20)
 
         # ---- train phase ----
+        # Per-step metrics stay ON DEVICE and are materialized only at
+        # ``log_every`` boundaries: a float() per step would host-sync
+        # every step, and on a tunneled transport that adds a full RTT
+        # (~25-30 ms here) to each ~100 ms step. The reference logs to
+        # wandb every step (utils/train.py:110-116); we log the same
+        # running averages at window granularity instead — a documented
+        # TPU-first divergence. Window sums are exact: ≤ log_every
+        # steps of int32 counts fold into python ints per window.
         run_loss, run_correct, run_valid, it = 0.0, 0, 0, 0
+        win_loss = win_correct = win_valid = None
         t0 = time.perf_counter()
+
+        def fold_window():
+            nonlocal run_loss, run_correct, run_valid
+            nonlocal win_loss, win_correct, win_valid
+            if win_loss is not None:
+                run_loss += float(win_loss)
+                run_correct += int(win_correct)
+                run_valid += int(win_valid)
+                win_loss = win_correct = win_valid = None
+
         for batch in dataloaders["train"]:
             # optional jax.profiler capture around a step window
             if profile_dir and global_step == profile_steps[0]:
@@ -216,21 +242,29 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                 print(f"[profiler] trace written to {profile_dir}")
             batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
             state, m = train_step(state, batch, tokens)
-            run_loss += float(m["loss"])
-            run_correct += int(m["correct"])
-            run_valid += int(m["valid"])
+            loss32 = m["loss"].astype(jnp.float32)
+            cor32 = m["correct"].astype(jnp.int32)
+            val32 = m["valid"].astype(jnp.int32)
+            if win_loss is None:
+                win_loss, win_correct, win_valid = loss32, cor32, val32
+            else:
+                win_loss = win_loss + loss32
+                win_correct = win_correct + cor32
+                win_valid = win_valid + val32
             it += 1
             global_step += 1
             if it % log_every == 0:
+                fold_window()
                 dt = (time.perf_counter() - t0) / it
                 print(f"  [train {it}] loss={run_loss/it:.4f} "
                       f"acc={run_correct/max(run_valid,1):.4f} "
                       f"({dt*1000:.0f} ms/step)")
-            logger.log({
-                "train/loss": run_loss / it,
-                "train/acc": run_correct / max(run_valid, 1),
-                "step": global_step,
-            })
+                logger.log({
+                    "train/loss": run_loss / it,
+                    "train/acc": run_correct / max(run_valid, 1),
+                    "step": global_step,
+                })
+        fold_window()
         tr_acc = run_correct / max(run_valid, 1)
         tr_hist.append(tr_acc)
 
