@@ -51,10 +51,12 @@ def _wait_for_backend(max_wait_s=1500):
     while True:
         attempt += 1
         try:
+            probe_timeout = min(120.0, max(10.0,
+                                           deadline - time.monotonic()))
             out = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, text=True, timeout=120)
+                capture_output=True, text=True, timeout=probe_timeout)
             if out.returncode == 0:
                 print(f"[bench] backend pre-flight ok: "
                       f"{out.stdout.strip()}", file=sys.stderr)
@@ -70,8 +72,9 @@ def _wait_for_backend(max_wait_s=1500):
         print(f"[bench] pre-flight attempt {attempt} failed ({reason}); "
               f"retrying, {remaining:.0f}s left", file=sys.stderr)
         # a killed hung probe can wedge the device grant for ~1-3 min
-        # (self-heals) — give it room before the next attempt
-        time.sleep(90)
+        # (self-heals) — give it room before the next attempt, but never
+        # sleep past the advertised budget
+        time.sleep(min(90.0, remaining))
 
 POINT_CAP = 34816      # ~one nuScenes sweep, multiple of 1024
 VOXEL_CAP = 25600      # ~34k pts at 0.1 m voxels, multiple of window
@@ -89,14 +92,9 @@ def main():
 
     # persistent compilation cache: repeated bench runs on this machine
     # skip recompiling unchanged programs entirely
-    try:
-        cache_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception as e:  # older jax: cache flags absent
-        print(f"[bench] no persistent compile cache: {e}",
-              file=sys.stderr)
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    if enable_compile_cache() is None:  # older jax: cache flags absent
+        print("[bench] no persistent compile cache", file=sys.stderr)
 
     import jax.numpy as jnp
     from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig,
@@ -215,23 +213,17 @@ def main():
                              for l in jax.tree.leaves(out)
                              if jnp.issubdtype(l.dtype, jnp.number))
 
-        def run(n):
-            acc = jnp.float32(0.0)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                toks = enc(pre(images, acc))
-                acc = rest(toks, points, valid, K, Rt, acc)
-            float(acc)
-            return time.perf_counter() - t0
+        from tpu3dssf.utils.timing import chained_slope
+
+        def step(acc):
+            toks = enc(pre(images, acc))
+            return rest(toks, points, valid, K, Rt, acc)
 
         t0 = time.perf_counter()
-        run(1)
+        float(step(jnp.float32(0.0)))  # compile embed/block/final+rest
         print(f"[bench] vitl compile+warmup {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
-        n1, n2 = 2, 8
-        w1 = min(run(n1) for _ in range(2))
-        w2 = min(run(n2) for _ in range(2))
-        dt = (w2 - w1) / (n2 - n1)
+        dt = chained_slope(step, warmup=False)
         pts_per_sec = POINT_CAP * BATCH / dt
         print(f"[bench] e2e(vitl) {dt*1e3:.1f} ms/batch-of-{BATCH} "
               f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)

@@ -29,13 +29,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception:
-        pass
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from tpu3dssf.models.vit import (VisionTransformer, ViTBlock,
                                      dinov3_large, fold_layerscale)
     from tpu3dssf.utils.timing import time_device
@@ -89,6 +84,7 @@ def main():
         # on the previous frame's reduced output (no reordering or
         # elision possible), fetch one scalar as the completion fence,
         # and take (wall(4n)-wall(n))/3n so fixed RTT cancels.
+        from tpu3dssf.utils.timing import chained_slope
         enc = make_looped_encode(cfg, params, donate=False)
 
         @jax.jit
@@ -99,26 +95,16 @@ def main():
         def reduce_(out, acc):
             return acc + jnp.sum(out.astype(jnp.float32))
 
-        def run(n):
-            acc = jnp.float32(0.0)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = enc(perturb(imgs, acc))
-                acc = reduce_(out, acc)
-            float(acc)
-            return time.perf_counter() - t0
+        def step(acc):
+            return reduce_(enc(perturb(imgs, acc)), acc)
 
         t0 = time.perf_counter()
-        run(1)  # compile embed + block + final (+ helpers)
+        float(step(jnp.float32(0.0)))  # compile embed + block + final
         compile_s = time.perf_counter() - t0
-        n1, n2 = 2, 8
-        w1 = min(run(n1) for _ in range(2))
-        w2 = min(run(n2) for _ in range(2))
-        dt = (w2 - w1) / (n2 - n1)
+        dt = chained_slope(step, warmup=False)
         print(f"ViT-L encode 6 imgs (loop, 24 real layers): "
               f"{dt*1e3:.1f} ms/frame ({6*2840/dt:,.0f} tok/s) "
-              f"[compile {compile_s:.0f}s; wall({n1})={w1:.2f}s "
-              f"wall({n2})={w2:.2f}s]", flush=True)
+              f"[compile {compile_s:.0f}s]", flush=True)
         return
     f = jax.jit(lambda im: vit.apply(params, im)["patch_features"])
     t0 = time.perf_counter()

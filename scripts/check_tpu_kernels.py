@@ -77,9 +77,8 @@ def check_window(W, K, H, D):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     print("backend:", jax.default_backend())
     check(B=25, N=1024, C=32, H=2)     # PTv3 s0 geometry -> whole-3C
     check(B=4, N=1024, C=128, H=2)     # PTv3 s2 geometry -> channel-block

@@ -22,9 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache"))
+from tpu3dssf.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 from tpu3dssf.utils.timing import time_device
 

@@ -27,6 +27,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from tpu3dssf.utils.timing import time_device
 
     rng = np.random.default_rng(0)

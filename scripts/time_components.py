@@ -24,13 +24,8 @@ def main():
     which = set(sys.argv[1:]) or {"vit", "ptv3", "voxel", "fusion"}
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception:
-        pass
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from tpu3dssf.utils.timing import time_device
 

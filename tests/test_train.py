@@ -141,6 +141,28 @@ def test_reduce_on_plateau_actually_reduces_lr():
     assert abs(float(upd["w"][0])) < abs(first) * 0.5
 
 
+def test_reduce_on_plateau_epoch_granularity():
+    """Plateau decisions are per-EPOCH (accumulation_size =
+    steps_per_epoch): one lucky low batch loss must not set best_value
+    and start decaying the lr mid-epoch — per-step decisions on noisy
+    batch losses would multiply lr by 0.1 every ``patience`` steps once
+    a lucky batch set an unbeatable best."""
+    S = 8
+    tx = create_optimizer("SGD", 1.0, momentum=0.0,
+                          lr_scheduler="ReduceLROnPlateau",
+                          steps_per_epoch=S, num_epochs=5)
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    upd, st = tx.update(grads, st, params, value=jnp.float32(1.0))
+    first = abs(float(upd["w"][0]))
+    # 4 epochs of noisy batch losses, one lucky 0.01 batch per epoch;
+    # patience counts EPOCHS now, so nothing may fire within 4 of them
+    for v in ([1.0] * (S - 1) + [0.01]) * 4:
+        upd, st = tx.update(grads, st, params, value=jnp.float32(v))
+    assert abs(float(upd["w"][0])) == pytest.approx(first, rel=1e-6)
+
+
 def test_train_step_reduces_loss(rng):
     model = _tiny_model()
     batch = _batch(rng)

@@ -10,7 +10,8 @@ The reference has no analog (it pickles torch state_dicts and re-runs
 the Python model, main_train.py:97-104); this is the TPU-native
 deployment contract.
 
-    blob = export_infer_bytes(model, params, example_args)
+    infer = lambda *a: model.apply(params, *a)   # params baked in
+    blob = export_infer_bytes(infer, example_args)
     f = load_exported(blob)          # .call-able on matching shapes
     logits, mask = f(*example_args)
 

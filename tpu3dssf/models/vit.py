@@ -530,11 +530,16 @@ def make_looped_encode(config: ViTConfig, params, donate: bool = True):
     if not cfg.scan_layers:
         raise ValueError("make_looped_encode needs scan_layers=True "
                          "(stacked per-layer params)")
-    p = params["params"]
+    p = dict(params["params"])
     L = cfg.num_layers
     # per-layer param trees, sliced once at setup (device-side gathers)
     layer_params = [jax.tree.map(lambda a, i=i: a[i], p["blocks"])
                     for i in range(L)]
+    # embed/final close over `p` but need only the non-block leaves —
+    # keeping the stacked (L, ...) block tree referenced would pin a
+    # second full copy of the block weights in HBM (~0.6 GB at ViT-L)
+    # for the encoder's lifetime
+    del p["blocks"]
     gh, gw = cfg.grid_size
     n_pre = cfg.num_prefix_tokens
     N = n_pre + cfg.num_patches

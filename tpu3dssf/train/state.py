@@ -94,10 +94,17 @@ def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
         out = optax.apply_if_finite(out, max_consecutive_errors=100)
     if lr_scheduler == "ReduceLROnPlateau":
         # chained OUTSIDE apply_if_finite: that wrapper's update doesn't
-        # forward extra args, and reduce_on_plateau *requires* ``value``
+        # forward extra args, and reduce_on_plateau *requires* ``value``.
+        # The train step passes the PER-BATCH loss every update;
+        # accumulation_size averages one epoch of them before each
+        # plateau decision, so patience=10 means "10 epochs without
+        # improvement" (torch-conventional; per-step decisions on noisy
+        # batch losses would let one lucky batch set best_value and
+        # then decay lr to ~0 within hundreds of steps)
         out = optax.chain(optax.with_extra_args_support(out),
                           optax.contrib.reduce_on_plateau(
-                              factor=0.1, patience=10))
+                              factor=0.1, patience=10,
+                              accumulation_size=max(1, steps_per_epoch)))
     # the train step always passes value= (TrainState.apply_gradients);
     # make every chain accept-and-ignore it
     return optax.with_extra_args_support(out)

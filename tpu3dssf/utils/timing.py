@@ -88,6 +88,36 @@ def time_device(fn: Callable, *args, iters: int = 10,
     return slope
 
 
+def chained_slope(step: Callable, n1: int = 2, n2: int = 8,
+                  repeats: int = 2, warmup: bool = True) -> float:
+    """Seconds per call of a MULTI-DISPATCH step, host-side slope.
+
+    ``time_device`` jits its body into ONE ``fori_loop`` program —
+    exactly wrong for functions whose point is multiple dispatches
+    (``make_looped_encode`` exists to avoid that one big program;
+    CLAUDE.md trap 12). This measures host-side with the same two-point
+    slope protocol instead: ``step(acc) -> acc`` must chain each call's
+    input on the previous call's reduced scalar output (so no dispatch
+    can be elided or reordered), the final ``float(acc)`` is the
+    completion fence, and ``(wall(n2)-wall(n1))/(n2-n1)`` cancels the
+    fixed dispatch RTT.
+    """
+
+    def run(n):
+        acc = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = step(acc)
+        float(acc)
+        return time.perf_counter() - t0
+
+    if warmup:
+        run(1)
+    w1 = min(run(n1) for _ in range(max(1, repeats)))
+    w2 = min(run(n2) for _ in range(max(1, repeats)))
+    return (w2 - w1) / (n2 - n1)
+
+
 def measure_efficiency(func, *args, **kwargs):
     """Wall-time + device-memory snapshot around one call.
 
