@@ -152,26 +152,51 @@ def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
                    logger: Optional[MetricLogger] = None,
                    verbose: bool = True):
     """Full-split evaluation → the reference ``evaluate`` metrics dict."""
-    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
     # accumulate on device; a float()/int() per batch would host-sync
     # every iteration and stop consecutive batches from overlapping on
-    # device (PERF.md "Batching": B=1 throughput lives on that overlap)
-    total_loss = jnp.float32(0.0)
-    correct = jnp.int32(0)   # same exactness/overflow envelope as cm
-    valid = jnp.int32(0)
+    # device (PERF.md "Batching": B=1 throughput lives on that overlap).
+    # Device sums are int32, so fold into host int64 accumulators every
+    # FOLD_EVERY batches: one sync per window keeps the overlap, and a
+    # window of 256 × B·N point counts stays far from int32 overflow
+    # (a full 28k-frame split summed on device would not — counts reach
+    # ~1e9 of the 2.1e9 int32 range).
+    FOLD_EVERY = 256
+    cm_h = np.zeros((num_classes, num_classes), np.int64)
+    loss_h, correct_h, valid_h = 0.0, 0, 0
+    cm = total_loss = correct = valid = None
     it = 0
+
+    def fold():
+        nonlocal cm_h, loss_h, correct_h, valid_h
+        nonlocal cm, total_loss, correct, valid
+        if cm is not None:
+            cm_h = cm_h + np.asarray(cm, np.int64)
+            loss_h += float(total_loss)
+            correct_h += int(correct)
+            valid_h += int(valid)
+            cm = total_loss = correct = valid = None
+
     for batch in pipeline_iter:
         batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
         m = eval_step(state, batch, tokens)
-        cm = cm + m["confusion"]
-        total_loss = total_loss + m["loss"].astype(jnp.float32)
-        correct = correct + m["correct"].astype(jnp.int32)
-        valid = valid + m["valid"].astype(jnp.int32)
+        if cm is None:
+            cm = m["confusion"]
+            total_loss = m["loss"].astype(jnp.float32)
+            correct = m["correct"].astype(jnp.int32)
+            valid = m["valid"].astype(jnp.int32)
+        else:
+            cm = cm + m["confusion"]
+            total_loss = total_loss + m["loss"].astype(jnp.float32)
+            correct = correct + m["correct"].astype(jnp.int32)
+            valid = valid + m["valid"].astype(jnp.int32)
         it += 1
+        if it % FOLD_EVERY == 0:
+            fold()
+    fold()
     metrics = jax.tree.map(
         lambda x: np.asarray(x),
-        evaluate_from_confusion(cm, float(total_loss), int(correct),
-                                int(valid), max(it, 1)))
+        evaluate_from_confusion(cm_h, loss_h, correct_h,
+                                valid_h, max(it, 1)))
     if verbose:
         print(format_metrics(metrics))
     if logger is not None and not isinstance(logger, NullLogger):
