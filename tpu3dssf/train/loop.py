@@ -193,10 +193,16 @@ def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
         if it % FOLD_EVERY == 0:
             fold()
     fold()
+    # hand the metric derivation floats: jnp under x32 raises
+    # OverflowError on Python ints > 2^31 and silently WRAPS an int64
+    # confusion matrix (tests/test_loop_accumulators.py); the metrics
+    # cast to f32 internally anyway, and f32 rounding on ~1e9 counts is
+    # a ~1e-7 relative error.
     metrics = jax.tree.map(
         lambda x: np.asarray(x),
-        evaluate_from_confusion(cm_h, loss_h, correct_h,
-                                valid_h, max(it, 1)))
+        evaluate_from_confusion(cm_h.astype(np.float32), loss_h,
+                                float(correct_h), float(valid_h),
+                                max(it, 1)))
     if verbose:
         print(format_metrics(metrics))
     if logger is not None and not isinstance(logger, NullLogger):
