@@ -35,10 +35,10 @@ def main(argv=None):
 
     import jax
     from tpu3dssf.cli import common
-    from tpu3dssf.metrics import evaluate_from_confusion, format_metrics
+    from tpu3dssf.metrics import format_metrics
     from tpu3dssf.parallel import create_mesh, replicate, shard_batch
     from tpu3dssf.train.checkpoint import restore_checkpoint
-    from tpu3dssf.train.loop import make_eval_step
+    from tpu3dssf.train.loop import MetricAccumulator, make_eval_step
 
     mesh_size = int(np.prod(cfg.tpu.mesh_shape))
     mesh = create_mesh((mesh_size,), ("data",)) if mesh_size > 1 else None
@@ -68,18 +68,13 @@ def main(argv=None):
 
     eval_step = make_eval_step(loss_fn, cfg.mlp_class)
 
-    import jax.numpy as jnp
-    cm = jnp.zeros((cfg.mlp_class, cfg.mlp_class), jnp.int32)
-    # device-side accumulators: converting any metric to python per
-    # batch would force a host sync each iteration and serialize the
-    # stream (consecutive frames overlap on device when the host keeps
-    # dispatching — the B=1 pipelining effect, PERF.md "Batching")
-    total_loss = jnp.float32(0.0)
-    correct = jnp.int32(0)
-    valid = jnp.int32(0)
-    it = 0
+    # device-side accumulation with periodic host folds (one sync per
+    # 256-batch window keeps the B=1 frame-overlap pipelining, PERF.md
+    # "Batching", while full-split device int32 sums would overflow)
+    acc = MetricAccumulator(cfg.mlp_class)
     total_points = 0
     t0 = time.perf_counter()
+
     def pad_to(batch, target):
         """Pad a partial batch to the mesh-divisible size with masked
         duplicate rows (they contribute nothing to loss or metrics)."""
@@ -121,20 +116,11 @@ def main(argv=None):
                     mesh, jax.sharding.PartitionSpec("data")))
         ctx = mesh if mesh is not None else _nullcontext()
         with ctx:
-            m = eval_step(state, batch, tokens)
-        cm = cm + m["confusion"]
-        total_loss = total_loss + m["loss"].astype(jnp.float32)
-        correct = correct + m["correct"].astype(jnp.int32)
-        valid = valid + m["valid"].astype(jnp.int32)
-        it += 1
-    jax.block_until_ready((cm, total_loss, correct, valid))
+            acc.add(eval_step(state, batch, tokens))
+    metrics = acc.metrics()  # folds pending device sums → host sync
     dt = time.perf_counter() - t0
-    total_loss = float(total_loss)
-    correct = int(correct)
-    valid = int(valid)
+    it = acc.it
 
-    metrics = evaluate_from_confusion(cm, total_loss, correct, valid,
-                                      max(it, 1))
     print(format_metrics(metrics))
     n_dev = mesh_size if mesh is not None else 1
     print(f"streamed {it} batches, {total_points:,} valid points in "

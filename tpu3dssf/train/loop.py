@@ -147,62 +147,78 @@ def _device_batch(batch, encode_fn, zero_tokens_fn=None):
     return batch, tokens
 
 
+class MetricAccumulator:
+    """Device-side eval-metric sums, folded to host int64 periodically.
+
+    Per-batch sums stay ON DEVICE and are folded into host int64/float
+    accumulators every ``fold_every`` batches: a float()/int() per batch
+    would host-sync every iteration and stop consecutive batches from
+    overlapping on device (PERF.md "Batching": B=1 throughput lives on
+    that overlap), while a full-split device sum overflows int32 — a
+    28k-frame nuScenes split reaches ~1e9 of the 2.1e9 range. One sync
+    per 256-batch window keeps the overlap and stays far from overflow
+    (tests/test_loop_accumulators.py).
+    """
+
+    def __init__(self, num_classes: int, fold_every: int = 256):
+        self.fold_every = fold_every
+        self.it = 0
+        self._cm_h = np.zeros((num_classes, num_classes), np.int64)
+        self._loss_h, self._correct_h, self._valid_h = 0.0, 0, 0
+        self._cm = self._loss = self._correct = self._valid = None
+
+    def add(self, m: Dict):
+        """Accumulate one eval_step metrics dict (stays on device)."""
+        loss = m["loss"].astype(jnp.float32)
+        cor = m["correct"].astype(jnp.int32)
+        val = m["valid"].astype(jnp.int32)
+        if self._cm is None:
+            self._cm, self._loss = m["confusion"], loss
+            self._correct, self._valid = cor, val
+        else:
+            self._cm = self._cm + m["confusion"]
+            self._loss = self._loss + loss
+            self._correct = self._correct + cor
+            self._valid = self._valid + val
+        self.it += 1
+        if self.it % self.fold_every == 0:
+            self._fold()
+
+    def _fold(self):
+        if self._cm is not None:
+            self._cm_h = self._cm_h + np.asarray(self._cm, np.int64)
+            self._loss_h += float(self._loss)
+            self._correct_h += int(self._correct)
+            self._valid_h += int(self._valid)
+            self._cm = self._loss = self._correct = self._valid = None
+
+    def metrics(self) -> Dict:
+        """Final reference ``evaluate`` dict (host numpy; syncs device).
+
+        Hands the metric derivation floats: jnp under x32 raises
+        OverflowError on Python ints > 2^31 and silently WRAPS an int64
+        confusion matrix; the metrics cast to f32 internally anyway,
+        and f32 rounding on ~1e9 counts is a ~1e-7 relative error.
+        """
+        self._fold()
+        return jax.tree.map(
+            lambda x: np.asarray(x),
+            evaluate_from_confusion(
+                self._cm_h.astype(np.float32), self._loss_h,
+                float(self._correct_h), float(self._valid_h),
+                max(self.it, 1)))
+
+
 def evaluate_model(state, pipeline_iter, eval_step, encode_fn,
                    num_classes: int, zero_tokens_fn=None,
                    logger: Optional[MetricLogger] = None,
                    verbose: bool = True):
     """Full-split evaluation → the reference ``evaluate`` metrics dict."""
-    # accumulate on device; a float()/int() per batch would host-sync
-    # every iteration and stop consecutive batches from overlapping on
-    # device (PERF.md "Batching": B=1 throughput lives on that overlap).
-    # Device sums are int32, so fold into host int64 accumulators every
-    # FOLD_EVERY batches: one sync per window keeps the overlap, and a
-    # window of 256 × B·N point counts stays far from int32 overflow
-    # (a full 28k-frame split summed on device would not — counts reach
-    # ~1e9 of the 2.1e9 int32 range).
-    FOLD_EVERY = 256
-    cm_h = np.zeros((num_classes, num_classes), np.int64)
-    loss_h, correct_h, valid_h = 0.0, 0, 0
-    cm = total_loss = correct = valid = None
-    it = 0
-
-    def fold():
-        nonlocal cm_h, loss_h, correct_h, valid_h
-        nonlocal cm, total_loss, correct, valid
-        if cm is not None:
-            cm_h = cm_h + np.asarray(cm, np.int64)
-            loss_h += float(total_loss)
-            correct_h += int(correct)
-            valid_h += int(valid)
-            cm = total_loss = correct = valid = None
-
+    acc = MetricAccumulator(num_classes)
     for batch in pipeline_iter:
         batch, tokens = _device_batch(batch, encode_fn, zero_tokens_fn)
-        m = eval_step(state, batch, tokens)
-        if cm is None:
-            cm = m["confusion"]
-            total_loss = m["loss"].astype(jnp.float32)
-            correct = m["correct"].astype(jnp.int32)
-            valid = m["valid"].astype(jnp.int32)
-        else:
-            cm = cm + m["confusion"]
-            total_loss = total_loss + m["loss"].astype(jnp.float32)
-            correct = correct + m["correct"].astype(jnp.int32)
-            valid = valid + m["valid"].astype(jnp.int32)
-        it += 1
-        if it % FOLD_EVERY == 0:
-            fold()
-    fold()
-    # hand the metric derivation floats: jnp under x32 raises
-    # OverflowError on Python ints > 2^31 and silently WRAPS an int64
-    # confusion matrix (tests/test_loop_accumulators.py); the metrics
-    # cast to f32 internally anyway, and f32 rounding on ~1e9 counts is
-    # a ~1e-7 relative error.
-    metrics = jax.tree.map(
-        lambda x: np.asarray(x),
-        evaluate_from_confusion(cm_h.astype(np.float32), loss_h,
-                                float(correct_h), float(valid_h),
-                                max(it, 1)))
+        acc.add(eval_step(state, batch, tokens))
+    metrics = acc.metrics()
     if verbose:
         print(format_metrics(metrics))
     if logger is not None and not isinstance(logger, NullLogger):
