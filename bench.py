@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 100_000.0
 
 
-def _wait_for_backend(max_wait_s=1500):
+def _wait_for_backend(max_wait_s=None):
     """Pre-flight: wait (bounded) for the TPU service before backend init.
 
     The tunneled TPU service has multi-hour outages; a python process
@@ -37,11 +37,16 @@ def _wait_for_backend(max_wait_s=1500):
     timeout (CLAUDE.md trap 10). The driver runs this benchmark
     unattended, so probe the backend in SUBPROCESSES (killable, unlike
     an in-process init) and only let the main process touch jax once a
-    probe succeeds. After ``max_wait_s`` give up and proceed anyway —
-    identical to the old behavior. Opt out: BENCH_NO_PREFLIGHT=1.
+    probe succeeds. After ``max_wait_s`` (BENCH_PREFLIGHT_BUDGET_S,
+    default 3600 — outages observed longer than the old 1500) give up
+    and proceed anyway — identical to the old behavior. Opt out:
+    BENCH_NO_PREFLIGHT=1.
     """
     import subprocess
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S",
+                                          "3600"))
     if os.environ.get("BENCH_NO_PREFLIGHT") == "1":
         return
     if os.environ.get("PALLAS_AXON_POOL_IPS", None) == "":
