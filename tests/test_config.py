@@ -155,3 +155,15 @@ def test_vit_looped_validation():
     d["tpu_params"] = {"vit_looped": "sometimes"}
     with pytest.raises(ValueError, match="vit_looped"):
         load_config(d)
+
+
+def test_scan_blocks_reaches_the_ptv3_config():
+    d = _base()
+    assert load_config(d).tpu.scan_blocks is False  # default: ckpt-compat
+    d["tpu_params"] = {"scan_blocks": True}
+    cfg = load_config(d)
+    assert cfg.tpu.scan_blocks is True
+    # plumbing: build_pipeline must hand it to PTv3Config
+    from tpu3dssf.cli.common import build_pipeline
+    model, pipe = build_pipeline(cfg)
+    assert pipe.ptv3.scan_blocks is True

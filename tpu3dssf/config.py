@@ -53,6 +53,11 @@ class TPUParams:
     devoxelize_mode: str = "own"       # "own" | "nearest" (parity)
     use_pallas: bool = True
     remat: bool = False                # jax.checkpoint PTv3 blocks
+    # compile each PTv3 stage's blocks as ONE nn.scan over stacked
+    # params (fewer block bodies → much less HLO for slow AOT
+    # compilers). Changes the param-tree layout, so checkpoints written
+    # with one setting don't load under the other — hence opt-in.
+    scan_blocks: bool = False
     # ViT encode as per-layer dispatches (models/vit.py
     # make_looped_encode) instead of one jitted program — required for
     # ViT-L on environments whose AOT compiler rejects the 24-layer
@@ -152,6 +157,7 @@ def load_config(path_or_dict) -> Config:
         devoxelize_mode=tp.get("devoxelize_mode", "own"),
         use_pallas=bool(tp.get("use_pallas", True)),
         remat=bool(tp.get("remat", False)),
+        scan_blocks=bool(tp.get("scan_blocks", False)),
         vit_looped=str(tp.get("vit_looped", "auto")),
         compute_dtype=tp.get("compute_dtype", "bfloat16"),
         mesh_shape=mesh_shape,
