@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def check(B, N, C, H):
+def check(B, N, C, H, head_group=None):
     import jax
     import jax.numpy as jnp
     from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
@@ -35,7 +35,8 @@ def check(B, N, C, H):
     qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)), jnp.bfloat16)
     bias = jnp.zeros((B, 1, N), jnp.float32)
     out = jax.jit(lambda x, b: flash_attention_packed(
-        x, b, H, pick_block_q(N), None, None, 1.0 / D ** 0.5))(qkv, bias)
+        x, b, H, pick_block_q(N), None, None, 1.0 / D ** 0.5,
+        head_group))(qkv, bias)
     out = np.asarray(jax.block_until_ready(out), np.float32)
 
     q, k, v = (np.asarray(qkv, np.float32).reshape(B, N, 3, H, D)[:, :, i]
@@ -45,7 +46,8 @@ def check(B, N, C, H):
         jnp.asarray(v, jnp.bfloat16), jnp.ones((B, N), bool), False),
         np.float32).reshape(B, N, C)
     err = float(np.abs(out - ref).max())
-    mode = "whole-3C" if C % 128 else "channel-block"
+    mode = ("whole-3C" if C % 128 else
+            f"head-group={head_group}" if head_group else "channel-block")
     print(f"packed flash {mode:13s} (B={B}, N={N}, C={C}, H={H}): "
           f"max|err| vs XLA = {err:.4f}")
     assert err < 0.05, (mode, err)
@@ -83,6 +85,8 @@ def main():
     check(B=25, N=1024, C=32, H=2)     # PTv3 s0 geometry -> whole-3C
     check(B=4, N=1024, C=128, H=2)     # PTv3 s2 geometry -> channel-block
     check_window(W=25, K=1024, H=2, D=16)   # PTv3 s0 window route
+    # ViT-L many-head route: 16 heads, 2 groups of 8 on the grid
+    check(B=2, N=1024, C=1024, H=16, head_group=8)
     print("OK")
 
 

@@ -253,3 +253,85 @@ def test_flash_packed_many_heads_scratch_path(rng):
     want = mha_reference(q, k, v, bias).reshape(B, N, C)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_flash_packed_head_groups(rng):
+    """head_group puts head groups on the grid as independent channel
+    blocks (ViT-L route: ≤8 heads per Mosaic body, zero transposes).
+    Forward + backward must match the single-body packed kernel and the
+    jnp reference exactly."""
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  mha_reference)
+
+    B, N, H, D = 1, 32, 4, 64   # hg=2 -> G=2, group width 128
+    C = H * D
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    bias = jnp.zeros((B, 1, N)).at[:, :, -5:].set(-1e9)
+    g = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    packed = jnp.concatenate(
+        [(q / (D ** 0.5)).reshape(B, N, C), k.reshape(B, N, C),
+         v.reshape(B, N, C)], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(
+            lambda p: flash_attention_packed(p, bias, H, 16, None, None,
+                                             None, 2), packed)
+        (dpacked,) = vjp(g)
+        one, ovjp = jax.vjp(
+            lambda p: flash_attention_packed(p, bias, H, 16), packed)
+        (odp,) = ovjp(g)
+
+    want = mha_reference(q, k, v, bias).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(one),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dpacked), np.asarray(odp),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_flash_packed_head_groups_rope(rng):
+    """head_group composes with in-kernel RoPE (per-group rope refs are
+    the same (N, D/2) tables)."""
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  mha_reference)
+    from tpu3dssf.models.vit import _apply_rope
+
+    B, N, H, D = 1, 32, 4, 64
+    C, D2, n_pre = H * D, D // 2, 3
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)), jnp.float32)
+    bias = jnp.zeros((B, 1, N)).at[:, :, -5:].set(-1e9)
+    angles = jnp.asarray(rng.uniform(-3, 3, size=(N - n_pre - 5, D2)),
+                         jnp.float32)
+    cos = jnp.concatenate([jnp.ones((n_pre, D2)), jnp.cos(angles),
+                           jnp.ones((5, D2))])
+    sin = jnp.concatenate([jnp.zeros((n_pre, D2)), jnp.sin(angles),
+                           jnp.zeros((5, D2))])
+    scale = 1.0 / (D ** 0.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_packed(qkv, bias, H, 16, cos, sin, scale, 2)
+
+    q = qkv[..., :C].reshape(B, N, H, D)
+    k = qkv[..., C:2 * C].reshape(B, N, H, D)
+    v = qkv[..., 2 * C:].reshape(B, N, H, D)
+    pad_ang = jnp.concatenate([angles, jnp.zeros((5, D2))])
+    want = mha_reference(_apply_rope(q, pad_ang, n_pre),
+                         _apply_rope(k, pad_ang, n_pre), v,
+                         bias).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_packed_head_group_validation():
+    """Misaligned group widths and non-divisor groups raise up front."""
+    from tpu3dssf.kernels.flash_attention import flash_attention_packed
+
+    qkv = jnp.zeros((1, 32, 3 * 64), jnp.float32)  # C=64
+    bias = jnp.zeros((1, 1, 32), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        flash_attention_packed(qkv, bias, 4, 16, None, None, None, 2)
+    with pytest.raises(ValueError, match="must divide"):
+        flash_attention_packed(qkv, bias, 4, 16, None, None, None, 3)

@@ -314,3 +314,28 @@ def test_looped_encode_donation_reusable(rng):
     first = np.asarray(enc(x))
     second = np.asarray(enc(x))
     np.testing.assert_array_equal(first, second)
+
+
+def test_many_head_flash_routes_to_head_groups(rng):
+    """H=16 with 128-aligned group widths must take the packed
+    head-group route (zero transposes) and match the einsum path.
+    Geometry picks hg=8 -> G=2, group width C/2=128."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg_e = tiny(use_flash=False, num_heads=16, hidden_size=256,
+                 use_rope=True)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    vit_e = VisionTransformer(cfg_e)
+    params = vit_e.init(jax.random.PRNGKey(0), x)
+    out_e = vit_e.apply(params, x)
+
+    for phg in (True, False):  # head-group packed AND transposing kernel
+        cfg_f = dataclasses.replace(cfg_e, use_flash=True,
+                                    packed_head_groups=phg)
+        with pltpu.force_tpu_interpret_mode():
+            out_f = VisionTransformer(cfg_f).apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out_e["patch_features"]),
+            np.asarray(out_f["patch_features"]), atol=2e-3,
+            err_msg=f"packed_head_groups={phg}")

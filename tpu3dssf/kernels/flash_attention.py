@@ -276,9 +276,10 @@ def _packed_kernel(heads, q_scale, use_rope, use_scratch, whole,
             o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 6, 7))
 def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
-                           rope_cos=None, rope_sin=None, q_scale=None):
+                           rope_cos=None, rope_sin=None, q_scale=None,
+                           head_group=None):
     """MHA straight off the qkv projection: (B, N, 3C) → (B, N, C).
 
     N must already be a multiple of ``block_q`` (the ViT pads its token
@@ -293,6 +294,14 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
     semantics); rows for prefix/padded tokens must be (1, 0) identity
     rotations. They are treated as CONSTANTS by the backward pass
     (zero gradient) — positions are not trainable here.
+
+    ``head_group`` (static, must divide ``heads``): unroll only this
+    many heads per kernel body and put the ``heads/head_group`` groups
+    on the grid as independent channel blocks. Many-head configs
+    (ViT-L: 16) otherwise emit one Mosaic body with 16x the code —
+    which the remote AOT compiler rejects at full-model size — or pay
+    (B,H,N,D) transposes in the fallback kernel. Requires the group
+    channel width C/(heads/head_group) to be a multiple of 128.
     """
     B, N, C3 = qkv.shape
     C = C3 // 3
@@ -300,32 +309,73 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
         raise ValueError(
             f"flash_attention_packed: N={N} must be a multiple of "
             f"block_q={block_q} (pad the sequence; see pick_block_q)")
+    hg = heads if head_group is None else head_group
+    if heads % hg:
+        raise ValueError(
+            f"flash_attention_packed: head_group={hg} must divide "
+            f"heads={heads}")
+    G = heads // hg
+    Cg = C // G
+    if G > 1 and Cg % 128:
+        raise ValueError(
+            f"flash_attention_packed: group channel width {Cg} must be "
+            f"a multiple of 128 (C={C}, {G} groups)")
     # Mosaic requires a block's last dim to divide 128 or equal the
     # array dim. C-wide channel blocks need C % 128 == 0; otherwise
     # fall back to whole-3C blocks (always legal) with the q/k/v
     # channel offsets applied inside the kernel instead. Whole mode
     # keeps k/v blocks at 3x width, so performance-critical small-C
     # callers (PTv3 C=32/64 stages) route to window_attention instead.
-    whole = bool(C % 128)
+    whole = bool(C % 128) and G == 1
     nq = N // block_q
     bias = key_bias.astype(jnp.float32)
     use_rope = rope_cos is not None
 
-    def cspec(which, rows):
-        cols = C3 if whole else C
-        wh = 0 if whole else which
-        if rows == N:  # full-sequence k/v block, channel-offset `which`
-            return pl.BlockSpec((1, N, cols), lambda b, i, w=wh: (b, 0, w),
+    if G > 1:
+        # channel-block index units are Cg columns: q group g lives at
+        # block g, k at G + g, v at 2G + g
+        def cspec(which, rows):
+            if rows == N:
+                return pl.BlockSpec(
+                    (1, N, Cg), lambda b, g, i, w=which: (b, 0, w * G + g),
+                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                (1, rows, Cg), lambda b, g, i, w=which: (b, i, w * G + g),
+                memory_space=pltpu.VMEM)
+
+        bias_spec = pl.BlockSpec((1, 1, N), lambda b, g, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        rope_q = lambda b, g, i: (i, 0)      # noqa: E731
+        rope_k = lambda b, g, i: (0, 0)      # noqa: E731
+        out_spec = pl.BlockSpec((1, block_q, Cg),
+                                lambda b, g, i: (b, i, g),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, rows, cols), lambda b, i, w=wh: (b, i, w),
-                            memory_space=pltpu.VMEM)
+        grid = (B, G, nq)
+    else:
+        def cspec(which, rows):
+            cols = C3 if whole else C
+            wh = 0 if whole else which
+            if rows == N:  # full-sequence k/v block, channel offset
+                return pl.BlockSpec((1, N, cols),
+                                    lambda b, i, w=wh: (b, 0, w),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((1, rows, cols),
+                                lambda b, i, w=wh: (b, i, w),
+                                memory_space=pltpu.VMEM)
+
+        bias_spec = pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        rope_q = lambda b, i: (i, 0)         # noqa: E731
+        rope_k = lambda b, i: (0, 0)         # noqa: E731
+        out_spec = pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (B, nq)
 
     in_specs = [
         cspec(0, block_q),   # q block
         cspec(1, N),         # all keys
         cspec(2, N),         # all values
-        pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
     ]
     operands = [qkv, qkv, qkv, bias]
     if use_rope:
@@ -333,40 +383,37 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
         cs = rope_cos.astype(jnp.float32)
         sn = rope_sin.astype(jnp.float32)
         in_specs += [
-            pl.BlockSpec((block_q, D2), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, D2), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, D2), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, D2), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, D2), rope_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, D2), rope_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D2), rope_k, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, D2), rope_k, memory_space=pltpu.VMEM),
         ]
         operands += [cs, sn, cs, sn]
 
-    use_scratch = heads > 8
+    use_scratch = hg > 8
     return pl.pallas_call(
-        functools.partial(_packed_kernel, heads,
+        functools.partial(_packed_kernel, hg,
                           1.0 if q_scale is None else q_scale, use_rope,
                           use_scratch, whole),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
-        grid=(B, nq),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=([pltpu.VMEM((block_q, N), jnp.float32)]
                         if use_scratch else []),
         compiler_params=_COMPILER_PARAMS,
     )(*operands)
 
 
-def _fap_fwd(qkv, key_bias, heads, block_q, rope_cos, rope_sin, q_scale):
+def _fap_fwd(qkv, key_bias, heads, block_q, rope_cos, rope_sin, q_scale,
+             head_group):
     return (flash_attention_packed(qkv, key_bias, heads, block_q,
-                                   rope_cos, rope_sin, q_scale),
+                                   rope_cos, rope_sin, q_scale,
+                                   head_group),
             (qkv, key_bias, rope_cos, rope_sin))
 
 
-def _fap_bwd(heads, block_q, q_scale, res, g):
+def _fap_bwd(heads, block_q, q_scale, head_group, res, g):
     """Backward via the (B,H,N,D) Pallas backward — the layout shuffles
     only run when the ViT is actually being fine-tuned.
 

@@ -76,6 +76,10 @@ class ViTConfig:
     # weights are per-output-channel symmetric, activations per-token
     # dynamic symmetric. Attention + patch embed stay bf16.
     quant_int8: bool = False
+    # Many-head flash route (ViT-L): True → packed kernel with head
+    # GROUPS on the grid (≤8 heads per Mosaic body, zero transposes);
+    # False → the (B,H,N,D) kernel with per-layer transposes.
+    packed_head_groups: bool = True
     # Patchify as reshape + ONE MXU matmul instead of nn.Conv — the
     # identical linear map (kernel reshaped (P*P*3, C), same param tree
     # so checkpoints/HF ports are interchangeable; tests assert
@@ -245,13 +249,27 @@ class ViTBlock(nn.Module):
                     # many-head configs (ViT-L: 16): the packed kernel
                     # unrolls heads in ONE Mosaic body (16x the code +
                     # scratch staging) and its remote AOT compile dies
-                    # at ViT-L size (PERF.md round 2). The (B,H,N,D)
-                    # kernel puts heads on the grid — tiny body, same
-                    # FLOPs — at the cost of per-layer transposes.
-                    v = qkv_blk[..., 2 * Cl:].reshape(Bl, Nl, Hl, D)
-                    out4 = flash_attention(q, k, v, pick_block_q(Nl),
-                                           bias)
-                    return out4.reshape(Bl, Nl, Cl)
+                    # at ViT-L size (PERF.md round 2). Preferred route:
+                    # packed with head GROUPS on the grid — each body
+                    # unrolls ≤8 heads (the ViT-S-proven shape), zero
+                    # transposes. Requires 128-aligned group widths;
+                    # otherwise the (B,H,N,D) kernel puts heads on the
+                    # grid at the cost of per-layer transposes.
+                    hg = next((g for g in (8, 4, 2)
+                               if Hl % g == 0
+                               and (Cl // (Hl // g)) % 128 == 0), None)
+                    if hg is None or not cfg.packed_head_groups:
+                        v = qkv_blk[..., 2 * Cl:].reshape(Bl, Nl, Hl, D)
+                        out4 = flash_attention(q, k, v, pick_block_q(Nl),
+                                               bias)
+                        return out4.reshape(Bl, Nl, Cl)
+                    q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
+                    packed = jnp.concatenate(
+                        [q.reshape(Bl, Nl, Cl), k.reshape(Bl, Nl, Cl),
+                         qkv_blk[..., 2 * Cl:]], axis=-1)
+                    return flash_attention_packed(
+                        packed, bias, Hl, pick_block_q(Nl), None, None,
+                        None, hg)
                 q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
                 packed = jnp.concatenate(
                     [q.reshape(Bl, Nl, Cl), k.reshape(Bl, Nl, Cl),
