@@ -50,6 +50,13 @@ def main():
     print(f"    -> {flops / (t_attn/1e3) / 1e12:.1f} TFLOP/s "
           f"(attn matmuls only)")
 
+    # head-group variant (ViT-L's route): does splitting the 6-head
+    # body into 3 two-head grid groups help or hurt at ViT-S width?
+    # (k/v re-fetch per group vs smaller body)
+    tb("flash packed head_group=2 (G=3)",
+       jax.jit(lambda x, b: flash_attention_packed(
+           x, b, H, 256, None, None, None, 2)), qkv, bias)
+
     # 2. RoPE application cost (q and k, one layer, as the block does it)
     angles_p = jnp.pad(_rope_angles(gh, gw, D), ((0, N - 5 - gh * gw),
                                                  (0, 0)))
