@@ -423,3 +423,23 @@ def test_serialized_attention_packed_matches_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(got)[np.asarray(mask)],
         np.asarray(want)[np.asarray(mask)], rtol=2e-4, atol=2e-5)
+
+
+def test_packed_route_many_heads_matches_window_path(rng):
+    """K=128/C=256/H=16 geometry takes the packed flash route with
+    head_group=8 (the s4-style many-head branch; CPU test configs use
+    K=16 windows and never reach it). Must match the XLA window path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu3dssf.models.ptv3 import SerializedAttention
+
+    B, N, C, H = 1, 128, 256, 16
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.random((B, N)) > 0.2)
+    attn_p = SerializedAttention(C, H, 128, use_pallas=True)
+    attn_x = SerializedAttention(C, H, 128, use_pallas=False)
+    params = attn_x.init(jax.random.PRNGKey(0), x, None, None, mask)
+    want = attn_x.apply(params, x, None, None, mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = attn_p.apply(params, x, None, None, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

@@ -362,9 +362,15 @@ class SerializedAttention(nn.Module):
                 flash_attention_packed, pick_block_q)
             qkvw = qkv.reshape(B * W, K, 3 * C)
             bias = jnp.where(key_mask, 0.0, -1e9)[:, None, :]
+            # many-head stages (s4: H=32): unroll ≤8 heads per Mosaic
+            # body, head groups on the grid (same route as the ViT-L —
+            # one 32-head body is 4x the code and scratch staging)
+            hg = (next((g for g in (8, 4, 2)
+                        if H % g == 0 and (C // (H // g)) % 128 == 0),
+                       None) if H > 8 else None)
             out = flash_attention_packed(  # positional: custom_vjp
                 qkvw, bias, H, pick_block_q(K), None, None,
-                1.0 / (D ** 0.5))
+                1.0 / (D ** 0.5), hg)
             out = out * key_mask[..., None].astype(out.dtype)
         else:
             qkv4 = qkv.reshape(B * W, K, 3, H, D)
