@@ -87,6 +87,9 @@ def main():
     check_window(W=25, K=1024, H=2, D=16)   # PTv3 s0 window route
     # ViT-L many-head route: 16 heads, 2 groups of 8 on the grid
     check(B=2, N=1024, C=1024, H=16, head_group=8)
+    # PTv3 s3-dec/s4 many-head window geometry (H=16/32 -> head groups)
+    check(B=4, N=1024, C=256, H=16, head_group=8)
+    check(B=2, N=1024, C=512, H=32, head_group=8)
     print("OK")
 
 
