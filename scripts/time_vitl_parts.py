@@ -31,7 +31,8 @@ def main():
     enable_compile_cache()
 
     from tpu3dssf.kernels.flash_attention import (
-        flash_attention, flash_attention_packed, pick_block_q)
+        flash_attention, flash_attention_packed, pick_block_q,
+        pick_head_group)
     from tpu3dssf.models.vit import (
         ViTBlock, _apply_rope, _rope_angles, dinov3_large)
     from tpu3dssf.utils.timing import time_device
@@ -83,8 +84,7 @@ def main():
 
     # head-group variant (the ViT-L model route): ≤8 heads per body,
     # groups on the grid — vs the transposing (B,H,N,D) kernel below
-    hg = next((g for g in (8, 4, 2)
-               if H % g == 0 and (C // (H // g)) % 128 == 0), None)
+    hg = pick_head_group(H, C)
     if hg is not None and hg < H:
         tb(f"flash packed head_group={hg}",
            jax.jit(lambda x, b: flash_attention_packed(

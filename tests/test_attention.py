@@ -335,3 +335,17 @@ def test_flash_packed_head_group_validation():
         flash_attention_packed(qkv, bias, 4, 16, None, None, None, 2)
     with pytest.raises(ValueError, match="must divide"):
         flash_attention_packed(qkv, bias, 4, 16, None, None, None, 3)
+
+
+def test_pick_head_group():
+    """Shared head-group policy (vit.py / ptv3.py / timing scripts):
+    largest group in (8, 4, 2) dividing H with a 128-aligned group
+    width; None when no legal grouping exists (callers must then take
+    the (B, H, N, D) kernel, never a many-head single body)."""
+    from tpu3dssf.kernels.flash_attention import pick_head_group
+
+    assert pick_head_group(16, 1024) == 8    # ViT-L: 2 groups x 512
+    assert pick_head_group(32, 512) == 8     # PTv3 s4: 4 groups x 128
+    assert pick_head_group(12, 768) == 4     # 12 % 8 != 0 -> 3 x 256
+    assert pick_head_group(16, 128) is None  # D=8: no aligned width
+    assert pick_head_group(6, 384) == 2      # 6 % 8, 6 % 4 != 0

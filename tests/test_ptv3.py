@@ -443,3 +443,57 @@ def test_packed_route_many_heads_matches_window_path(rng):
         got = attn_p.apply(params, x, None, None, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_depthwise_conv3_matches_nn_conv(rng):
+    """_DepthwiseConv3 advertises bit-level drop-in compatibility with
+    ``nn.Conv(C, (3,), feature_group_count=C, padding=SAME)`` — same
+    param names/shapes so existing checkpoints load unchanged. Guard the
+    numerical equivalence (a silent drift here would change every CPE
+    output while old checkpoints still load)."""
+    import flax.linen as nn
+    from tpu3dssf.models.ptv3 import _DepthwiseConv3
+
+    C = 8
+    x = jnp.asarray(rng.normal(size=(2, 16, C)), jnp.float32)
+    dw = _DepthwiseConv3(C)
+    params = dw.init(jax.random.PRNGKey(0), x)
+    conv = nn.Conv(C, (3,), feature_group_count=C, padding="SAME")
+    want = conv.apply(params, x)  # same param dict loads directly
+    got = dw.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_many_heads_without_legal_group_takes_window_kernel(
+        rng, monkeypatch):
+    """C=128/H=16 (D=8): no 128-aligned head group exists, so the packed
+    route must NOT run — a single many-head packed body is exactly the
+    Mosaic shape the remote AOT compiler rejects (PERF.md ViT-L). The
+    (W, K, H, D) window kernel handles it instead."""
+    import importlib
+
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu3dssf.models.ptv3 import SerializedAttention
+
+    # the kernels package re-exports the flash_attention FUNCTION, which
+    # shadows the submodule attribute — fetch the module itself
+    fa = importlib.import_module("tpu3dssf.kernels.flash_attention")
+    assert fa.pick_head_group(16, 128) is None
+
+    def boom(*a, **k):
+        raise AssertionError("packed kernel must not be called")
+
+    monkeypatch.setattr(fa, "flash_attention_packed", boom)
+
+    B, N, C, H = 1, 128, 128, 16
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.random((B, N)) > 0.2)
+    attn_p = SerializedAttention(C, H, 128, use_pallas=True)
+    attn_x = SerializedAttention(C, H, 128, use_pallas=False)
+    params = attn_x.init(jax.random.PRNGKey(0), x, None, None, mask)
+    want = attn_x.apply(params, x, None, None, mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = attn_p.apply(params, x, None, None, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

@@ -34,3 +34,27 @@ def test_time_device_runs_integer_output_fn():
     a = jnp.asarray(np.arange(64, dtype=np.int32).reshape(8, 8))
     dt = time_device(lambda m: m @ m, a, iters=2, repeats=1)
     assert isinstance(dt, float)
+
+
+def test_chained_slope_guards_nonpositive_slope(monkeypatch):
+    """Same invalid-measurement contract as time_device: when jitter
+    makes wall(n2) <= wall(n1), chained_slope must warn and return NaN,
+    never record a zero/negative seconds-per-call."""
+    import warnings
+
+    from tpu3dssf.utils import timing
+
+    # fake clock: warmup run 0s, n1 runs read 10s, n2 runs read 1s
+    walls = iter([0.0, 0.0,            # warmup run(1)
+                  0.0, 10.0, 0.0, 10.0,  # run(n1) x repeats
+                  0.0, 1.0, 0.0, 1.0])   # run(n2) x repeats
+
+    class FakeTime:
+        perf_counter = staticmethod(lambda: next(walls))
+
+    monkeypatch.setattr(timing, "time", FakeTime)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dt = timing.chained_slope(lambda acc: acc + 1.0, n1=2, n2=8)
+    assert np.isnan(dt)
+    assert any("non-positive slope" in str(x.message) for x in w)

@@ -343,3 +343,29 @@ def test_checkpoint_roundtrip_sharded_state(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plateau_tolerates_nonfinite_batch_values():
+    """One NaN batch per epoch — the exact fault ``skip_nonfinite``
+    (apply_if_finite) exists to contain — must not poison the plateau
+    epoch average: steadily improving epochs keep the LR at full scale.
+    Unsanitized, the NaN made every epoch average NaN, every epoch "no
+    improvement", and the LR decayed toward 0 despite healthy losses."""
+    S = 4
+    tx = create_optimizer("SGD", 1.0, momentum=0.0,
+                          lr_scheduler="ReduceLROnPlateau",
+                          steps_per_epoch=S, num_epochs=100,
+                          skip_nonfinite=True)
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    upd, st = tx.update(grads, st, params, value=jnp.float32(10.0))
+    first = abs(float(upd["w"][0]))
+    v = 10.0
+    for _ in range(15):  # > patience(10) epochs, all improving
+        v *= 0.8
+        for s in range(S):
+            val = float("nan") if s == 1 else v
+            upd, st = tx.update(grads, st, params,
+                                value=jnp.float32(val))
+    assert abs(float(upd["w"][0])) == pytest.approx(first, rel=1e-6)

@@ -201,6 +201,23 @@ def pick_block_q(n_padded: int) -> int:
     return 128
 
 
+def pick_head_group(heads: int, channels: int):
+    """Head-group size for :func:`flash_attention_packed`, or None.
+
+    One Mosaic body may unroll at most ~8 heads before code size and
+    scratch staging blow up the (remote) AOT compile (PERF.md, ViT-L);
+    groups of ≤8 heads go on the grid instead. Each group's qkv channel
+    block must be 128-lane aligned for the packed in_specs. Returns the
+    largest group size in (8, 4, 2) that divides ``heads`` with a
+    128-aligned group width, or None when no legal grouping exists —
+    callers must then route to the (B, H, N, D) kernel (heads on the
+    grid, per-layer transposes) rather than run one many-head body.
+    """
+    return next((g for g in (8, 4, 2)
+                 if heads % g == 0 and (channels // (heads // g)) % 128 == 0),
+                None)
+
+
 def _rot_halves(x1, x2, cos, sin):
     """Rotate the (x1, x2) half-pair by (cos, sin); returns the pair."""
     return x1 * cos - x2 * sin, x1 * sin + x2 * cos

@@ -351,7 +351,17 @@ class SerializedAttention(nn.Module):
         # (or equal 3C), so stages with C ∈ {32, 64} must take the
         # (W, K, H, D) window kernel instead (interpret-mode tests do
         # not enforce this; the real-TPU lowering does)
-        if self.use_pallas and K % 128 == 0 and C % 128 == 0:
+        from tpu3dssf.kernels.flash_attention import pick_head_group
+        # many-head stages (s4: H=32): unroll ≤8 heads per Mosaic body,
+        # head groups on the grid (same route as the ViT-L — one
+        # 32-head body is 4x the code and scratch staging). A many-head
+        # stage with NO legal 128-aligned grouping (e.g. C=128, H=16 ⇒
+        # D=8) must NOT run one many-head packed body — that is the
+        # compile shape the remote AOT service rejects — so it takes
+        # the (W, K, H, D) window kernel below instead.
+        hg = pick_head_group(H, C) if H > 8 else None
+        if (self.use_pallas and K % 128 == 0 and C % 128 == 0
+                and (H <= 8 or hg is not None)):
             # windows are just batch rows of a full MHA — reuse the
             # packed flash kernel (one attention kernel for ViT AND
             # PTv3): qkv stays (B·W, K, 3C) straight off the Dense,
@@ -362,12 +372,6 @@ class SerializedAttention(nn.Module):
                 flash_attention_packed, pick_block_q)
             qkvw = qkv.reshape(B * W, K, 3 * C)
             bias = jnp.where(key_mask, 0.0, -1e9)[:, None, :]
-            # many-head stages (s4: H=32): unroll ≤8 heads per Mosaic
-            # body, head groups on the grid (same route as the ViT-L —
-            # one 32-head body is 4x the code and scratch staging)
-            hg = (next((g for g in (8, 4, 2)
-                        if H % g == 0 and (C // (H // g)) % 128 == 0),
-                       None) if H > 8 else None)
             out = flash_attention_packed(  # positional: custom_vjp
                 qkvw, bias, H, pick_block_q(K), None, None,
                 1.0 / (D ** 0.5), hg)

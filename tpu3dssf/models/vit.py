@@ -232,7 +232,8 @@ class ViTBlock(nn.Module):
             # relayouts swamp the saved HBM traffic, see
             # scripts/time_vit_parts.py — so RoPE stays out here.)
             from tpu3dssf.kernels.flash_attention import (
-                flash_attention, flash_attention_packed, pick_block_q)
+                flash_attention, flash_attention_packed, pick_block_q,
+                pick_head_group)
 
             def run_flash(qkv_blk, bias, rope):
                 # shapes from the (possibly per-shard) block itself —
@@ -255,9 +256,7 @@ class ViTBlock(nn.Module):
                     # transposes. Requires 128-aligned group widths;
                     # otherwise the (B,H,N,D) kernel puts heads on the
                     # grid at the cost of per-layer transposes.
-                    hg = next((g for g in (8, 4, 2)
-                               if Hl % g == 0
-                               and (Cl // (Hl // g)) % 128 == 0), None)
+                    hg = pick_head_group(Hl, Cl)
                     if hg is None or not cfg.packed_head_groups:
                         v = qkv_blk[..., 2 * Cl:].reshape(Bl, Nl, Hl, D)
                         out4 = flash_attention(q, k, v, pick_block_q(Nl),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
@@ -60,6 +61,31 @@ def create_schedule(name: str, base_lr: float, steps_per_epoch: int,
     raise ValueError(f"unknown lr_scheduler: {name}")
 
 
+def _finite_value_plateau(**kwargs) -> optax.GradientTransformationExtraArgs:
+    """``optax.contrib.reduce_on_plateau`` that tolerates non-finite
+    ``value``.
+
+    ``apply_if_finite`` (the ``skip_nonfinite`` containment) skips the
+    *parameter update* for a NaN/Inf batch, but the plateau scheduler
+    sits outside that wrapper and would still average the raw batch loss
+    — one NaN batch per epoch would NaN the epoch average, count as "no
+    improvement" forever, and decay the LR toward 0 despite healthy
+    training. Substitute the running epoch average for non-finite values
+    (a no-op on the mean); before any value has accumulated this epoch,
+    fall back to ``best_value`` (inf until the first finite epoch —
+    conservatively "no improvement", never a spurious new best).
+    """
+    inner = optax.contrib.reduce_on_plateau(**kwargs)
+
+    def update_fn(updates, state, params=None, *, value, **extra):
+        fallback = jnp.where(state.count > 0, state.avg_value,
+                             state.best_value)
+        safe = jnp.where(jnp.isfinite(value), value, fallback)
+        return inner.update(updates, state, params, value=safe, **extra)
+
+    return optax.GradientTransformationExtraArgs(inner.init, update_fn)
+
+
 def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
                      momentum: float = 0.9, nesterov: bool = False,
                      lr_scheduler: str = "none",
@@ -102,7 +128,7 @@ def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
         # batch losses would let one lucky batch set best_value and
         # then decay lr to ~0 within hundreds of steps)
         out = optax.chain(optax.with_extra_args_support(out),
-                          optax.contrib.reduce_on_plateau(
+                          _finite_value_plateau(
                               factor=0.1, patience=10,
                               accumulation_size=max(1, steps_per_epoch)))
     # the train step always passes value= (TrainState.apply_gradients);

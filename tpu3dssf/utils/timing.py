@@ -115,7 +115,18 @@ def chained_slope(step: Callable, n1: int = 2, n2: int = 8,
         run(1)
     w1 = min(run(n1) for _ in range(max(1, repeats)))
     w2 = min(run(n2) for _ in range(max(1, repeats)))
-    return (w2 - w1) / (n2 - n1)
+    slope = (w2 - w1) / (n2 - n1)
+    if slope <= 0.0:
+        # same invalid-measurement contract as time_device: RTT jitter
+        # over only (n2-n1) extra calls swamped the step — NaN, never a
+        # silently-recorded zero/negative seconds-per-call
+        import warnings
+        warnings.warn(
+            f"chained_slope: non-positive slope ({slope*1e3:.2f} ms/call "
+            f"at n1={n1}, n2={n2}) — jitter swamped the step; re-run "
+            f"with larger n2", stacklevel=2)
+        return float("nan")
+    return slope
 
 
 def measure_efficiency(func, *args, **kwargs):
