@@ -369,3 +369,40 @@ def test_plateau_tolerates_nonfinite_batch_values():
             upd, st = tx.update(grads, st, params,
                                 value=jnp.float32(val))
     assert abs(float(upd["w"][0])) == pytest.approx(first, rel=1e-6)
+
+
+def test_plateau_nonfinite_batches_are_invisible():
+    """A NaN batch must not touch the plateau accumulator at all — not
+    even as the FIRST value of an epoch (count==0), where the old
+    substitution fed best_value (inf before any finite epoch) or a
+    post-reset avg_value of 0 (a spuriously 'improving' loss) into the
+    average. The accumulator after [NaN, a, b, c] must equal the
+    accumulator after [a, b, c]."""
+    S = 4
+    tx = create_optimizer("SGD", 1.0, momentum=0.0,
+                          lr_scheduler="ReduceLROnPlateau",
+                          steps_per_epoch=S, num_epochs=100,
+                          skip_nonfinite=True)
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.ones(3)}
+
+    def run(values):
+        st = tx.init(params)
+        for v in values:
+            upd, st = tx.update(grads, st, params, value=jnp.float32(v))
+        return upd, st
+
+    nan = float("nan")
+    upd_a, st_a = run([nan, 3.0, 2.0, 1.0])
+    upd_b, st_b = run([3.0, 2.0, 1.0])
+    for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # the NaN step's updates are still emitted at the current scale
+    np.testing.assert_allclose(np.asarray(upd_a["w"]),
+                               np.asarray(upd_b["w"]))
+    # and a NaN landing exactly on the epoch boundary only DELAYS the
+    # plateau decision — it never fires it with a polluted average
+    upd_c, st_c = run([3.0, 2.0, 1.0, nan, 0.5])
+    upd_d, st_d = run([3.0, 2.0, 1.0, 0.5])
+    for c, d in zip(jax.tree.leaves(st_c), jax.tree.leaves(st_d)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(d))

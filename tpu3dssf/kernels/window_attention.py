@@ -11,9 +11,11 @@ score matrix. Padded slots (points beyond ``num_valid`` in the sorted
 order) are masked on the key side with an additive bias and zeroed on the
 query side by the caller.
 
-Training: ``window_attention`` is a custom_vjp — Pallas forward, XLA
-backward (vjp of the jnp reference), so gradients are exact without a
-hand-written backward kernel.
+Training: ``window_attention`` is a custom_vjp with a Pallas forward AND
+a Pallas backward (``_attn_bwd_kernel`` recomputes probs in VMEM and
+emits dq/dk/dv in one grid pass — measured 5.6x the XLA vjp, PERF.md
+"Kernel facts"). On non-TPU backends both directions fall back to the
+jnp reference implementation.
 """
 
 from __future__ import annotations

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 from flax.training import train_state
@@ -70,20 +71,45 @@ def _finite_value_plateau(**kwargs) -> optax.GradientTransformationExtraArgs:
     sits outside that wrapper and would still average the raw batch loss
     — one NaN batch per epoch would NaN the epoch average, count as "no
     improvement" forever, and decay the LR toward 0 despite healthy
-    training. Substitute the running epoch average for non-finite values
-    (a no-op on the mean); before any value has accumulated this epoch,
-    fall back to ``best_value`` (inf until the first finite epoch —
-    conservatively "no improvement", never a spurious new best).
+    training. A non-finite batch is made entirely invisible here: the
+    accumulator state passes through unchanged (no count increment, no
+    average pollution, no plateau decision) and the updates are scaled
+    by the CURRENT scale — so an epoch's plateau decision sees exactly
+    its finite batches (the accumulation window simply stretches by one
+    step per bad batch).
+
+    Version coupling: this reaches into ``ReduceLROnPlateauState``
+    internals (``count``, ``avg_value``, ``scale``) — correct on the
+    pinned optax 0.2.x; asserted at init time so a contrib-state field
+    rename on upgrade fails loudly at construction, not mid-training.
     """
     inner = optax.contrib.reduce_on_plateau(**kwargs)
 
-    def update_fn(updates, state, params=None, *, value, **extra):
-        fallback = jnp.where(state.count > 0, state.avg_value,
-                             state.best_value)
-        safe = jnp.where(jnp.isfinite(value), value, fallback)
-        return inner.update(updates, state, params, value=safe, **extra)
+    def init_fn(params):
+        state = inner.init(params)
+        for field in ("count", "avg_value", "best_value", "scale"):
+            if not hasattr(state, field):
+                raise AttributeError(
+                    "optax.contrib.ReduceLROnPlateauState no longer has "
+                    f"field {field!r}; _finite_value_plateau needs "
+                    "updating for this optax version")
+        return state
 
-    return optax.GradientTransformationExtraArgs(inner.init, update_fn)
+    def update_fn(updates, state, params=None, *, value, **extra):
+        finite = jnp.isfinite(value)
+        # keep NaN/Inf out of the inner computation even though its
+        # result is discarded on the non-finite branch (cheap insurance)
+        safe = jnp.where(finite, value, state.avg_value)
+        new_updates, new_state = inner.update(updates, state, params,
+                                              value=safe, **extra)
+        kept_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_state, state)
+        kept_updates = jax.tree.map(
+            lambda new, g: jnp.where(finite, new, state.scale * g),
+            new_updates, updates)
+        return kept_updates, kept_state
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
 
 
 def create_optimizer(name: str, learning_rate, weight_decay: float = 0.0,
