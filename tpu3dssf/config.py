@@ -55,8 +55,9 @@ class TPUParams:
     remat: bool = False                # jax.checkpoint PTv3 blocks
     # compile each PTv3 stage's blocks as ONE nn.scan over stacked
     # params (fewer block bodies → much less HLO for slow AOT
-    # compilers). Changes the param-tree layout, so checkpoints written
-    # with one setting don't load under the other — hence opt-in.
+    # compilers). Changes the param-tree layout; convert existing
+    # checkpoints either direction with scripts/convert_checkpoint.py
+    # (exact — identical logits, tests/test_convert.py).
     scan_blocks: bool = False
     # ViT encode as per-layer dispatches (models/vit.py
     # make_looped_encode) instead of one jitted program — required for
