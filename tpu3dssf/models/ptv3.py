@@ -43,6 +43,7 @@ from tpu3dssf.serialization import (
     argsort_lex,
     inverse_permutation,
     pack_cell_keys,
+    permutation_gather,
     serialization_keys,
 )
 
@@ -312,12 +313,12 @@ class SerializedCPE(nn.Module):
     def __call__(self, x, perm, inv, mask):
         xs = x * mask[..., None]
         if perm is not None:
-            xs = jnp.take_along_axis(xs, perm[..., None], axis=1)
+            xs = permutation_gather(xs, perm, inv)
         y = _DepthwiseConv3(self.channels, dtype=self.dtype,
                             name="depthwise")(xs)
         y = nn.Dense(self.channels, dtype=self.dtype, name="pointwise")(y)
         if inv is not None:
-            y = jnp.take_along_axis(y, inv[..., None], axis=1)
+            y = permutation_gather(y, inv, perm)
         return x + y * mask[..., None]
 
 
@@ -339,7 +340,7 @@ class SerializedAttention(nn.Module):
 
         qkv = nn.Dense(3 * self.channels, dtype=self.dtype, name="qkv")(x)
         if perm is not None:
-            qkv = jnp.take_along_axis(qkv, perm[..., None], axis=1)
+            qkv = permutation_gather(qkv, perm, inv)
             mask_s = jnp.take_along_axis(mask, perm, axis=1)
         else:
             mask_s = mask
@@ -382,7 +383,7 @@ class SerializedAttention(nn.Module):
             out = window_attention(q, k, v, key_mask, self.use_pallas)
         out = out.reshape(B, N, C)
         if inv is not None:
-            out = jnp.take_along_axis(out, inv[..., None], axis=1)
+            out = permutation_gather(out, inv, perm)
         return nn.Dense(self.channels, dtype=self.dtype, name="proj")(out)
 
 
@@ -632,7 +633,9 @@ class PointTransformerV3(nn.Module):
             return perm_c, inv_c, rel
 
         # ---- encoder ----
-        inv_cpes = []  # per stage: un-sort index (sorted -> vid space)
+        # per stage: (perm, inv) of the CPE-order sort (sorted <-> vid
+        # space), or None when the stream inherited the collapsed order
+        cpe_sorts = []
         for s in range(cfg.num_stages):
             if s > 0:
                 # only stage 1 pools caller-provided cells; deeper
@@ -654,16 +657,16 @@ class PointTransformerV3(nn.Module):
                 perms = {cpe_order: (None, None)}
                 if need:
                     perms.update(_serialize_perms(grid, msk, need))
-                inv_cpes.append(None)
+                cpe_sorts.append(None)
             else:
                 perms_orig = _serialize_perms(
                     grid, msk, used_orders(cfg.enc_depths[s]))
                 perm_c, inv_c, perms = sorted_space(perms_orig)
-                x = jnp.take_along_axis(x, perm_c[..., None], axis=1)
+                x = permutation_gather(x, perm_c, inv_c)
                 grid = jnp.take_along_axis(grid, perm_c[..., None],
                                            axis=1)
                 msk = jnp.take_along_axis(msk, perm_c, axis=1)
-                inv_cpes.append(inv_c)
+                cpe_sorts.append((perm_c, inv_c))
             x = run_blocks(x, perms, msk, cfg.enc_depths[s],
                            cfg.enc_channels[s], cfg.enc_heads[s],
                            cfg.enc_window[s], f"enc{s}")
@@ -677,8 +680,8 @@ class PointTransformerV3(nn.Module):
             # was re-sorted into its own curve order, compose with that
             # sort's inverse (None ⇒ the stream kept the collapsed
             # order and VID slots ARE stream slots)
-            if inv_cpes[d + 1] is not None:
-                parent = _compose_perm(inv_cpes[d + 1], parent)
+            if cpe_sorts[d + 1] is not None:
+                parent = _compose_perm(cpe_sorts[d + 1][1], parent)
             x = SerializedUnpooling(
                 cfg.dec_channels[d], dtype=cfg.dtype, name=f"unpool{d}",
             )(x, skip_x, parent, parent_ok, skip_mask)
@@ -697,5 +700,6 @@ class PointTransformerV3(nn.Module):
                            cfg.dec_window[d], f"dec{d}")
 
         # stream is in stage-0 sorted space; un-sort to input point order
-        x = jnp.take_along_axis(x, inv_cpes[0][..., None], axis=1)
+        perm0, inv0 = cpe_sorts[0]
+        x = permutation_gather(x, inv0, perm0)
         return x, mask

@@ -8,6 +8,7 @@ from tpu3dssf.serialization.codes import (
 from tpu3dssf.serialization.partition import (
     argsort_lex,
     inverse_permutation,
+    permutation_gather,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "SERIALIZATION_ORDERS",
     "argsort_lex",
     "inverse_permutation",
+    "permutation_gather",
 ]

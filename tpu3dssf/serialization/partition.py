@@ -30,3 +30,38 @@ def inverse_permutation(perm):
         .at[perm]
         .set(jnp.arange(n, dtype=jnp.int32))
     )
+
+
+@jax.custom_vjp
+def permutation_gather(x, perm, inv):
+    """``take_along_axis(x, perm[..., None], axis=1)`` with a gather VJP.
+
+    XLA transposes a gather into a scatter-add — the right rule for
+    arbitrary indices, but a permutation's transpose is just the inverse
+    gather, and TPU scatters are far slower than gathers. Every
+    serialization reorder in the model already carries its inverse
+    (``inverse_permutation``), so the backward pass can stay gather-only.
+
+    Args:
+      x:    (B, N, C) values.
+      perm: (B, N) int32 — a PERMUTATION of 0..N-1 per batch row.
+      inv:  (B, N) int32 — its inverse. Required, not recomputed: the
+            caller always has it, and correctness of the VJP depends on
+            ``inv`` being the true inverse of ``perm``.
+    """
+    del inv
+    return jnp.take_along_axis(x, perm[..., None], axis=1)
+
+
+def _permutation_gather_fwd(x, perm, inv):
+    return jnp.take_along_axis(x, perm[..., None], axis=1), inv
+
+
+def _permutation_gather_bwd(inv, ct):
+    import numpy as np
+
+    zero = np.zeros(inv.shape, jax.dtypes.float0)
+    return (jnp.take_along_axis(ct, inv[..., None], axis=1), zero, zero)
+
+
+permutation_gather.defvjp(_permutation_gather_fwd, _permutation_gather_bwd)
