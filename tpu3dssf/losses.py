@@ -64,14 +64,21 @@ def lovasz_softmax(probs, labels0, valid):
     N, C = probs.shape
     validf = valid.astype(jnp.float32)
 
-    # The ONLY gradient path is probs → errors → errors_s → loss: fg and
-    # valid are label constants. So the descending sort is taken as a
-    # non-differentiated argsort (the permutation is piecewise-constant
-    # in probs — identical a.e. semantics to differentiating lax.sort),
-    # and errors are reordered through permutation_gather, whose VJP is
-    # a GATHER with the inverse permutation. Differentiating a value-
-    # sort instead makes XLA transpose it into a (C, N) scatter-add —
-    # measured 5.3 ms of the loss's 8.0 ms backward (PERF.md r4).
+    # The ONLY gradient path is probs → errors → loss: fg and valid are
+    # label constants, and the sort order is piecewise-constant in
+    # probs (identical-a.e. semantics to differentiating lax.sort). So:
+    #  * ONE batched 4-operand value-sort (descending by the DETACHED
+    #    error) carries fg/valid/iota along — no take_along_axis
+    #    anywhere. Reordering fg/valid by lane-axis gathers instead
+    #    (round-4a) cost 41.7 ms fwd at train shapes: gathers addressed
+    #    along the LANE axis run ~100x slow on TPU (CLAUDE.md trap 7);
+    #  * the Lovász gradient `grad` is computed in sorted order from
+    #    those constants, then UNSORTED with one scatter, making the
+    #    loss a plain dot:  Σ_i errors[perm[i]]·grad[i]
+    #                     = Σ_j errors[j]·grad_u[j].
+    #    Its backward is ELEMENTWISE in errors — no gather, no scatter,
+    #    no sort transpose (differentiating the value-sort instead made
+    #    XLA emit a 5.3 ms (C, N) scatter-add per step, PERF.md r3).
     fg = jnp.where(valid[None, :],
                    (labels0[None, :] == jnp.arange(C)[:, None]), False)
     fgf = fg.astype(jnp.float32)                       # (C, N)
@@ -79,16 +86,10 @@ def lovasz_softmax(probs, labels0, valid):
                        jnp.abs(fgf - probs.T), 0.0)    # (C, N)
 
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (C, N))
-    _, perm = jax.vmap(
-        lambda k, i: jax.lax.sort((k, i), num_keys=1)
-    )(-jax.lax.stop_gradient(errors), iota)
-    from tpu3dssf.serialization import (inverse_permutation,
-                                        permutation_gather)
-    inv = jax.vmap(inverse_permutation)(perm)
-    errors_s = permutation_gather(errors[..., None], perm, inv)[..., 0]
-    fg_s = jnp.take_along_axis(fgf, perm, axis=1)
-    valid_s = jnp.take_along_axis(
-        jnp.broadcast_to(validf, (C, N)), perm, axis=1)
+    _, perm, fg_s, valid_s = jax.vmap(
+        lambda k, i, f, v: jax.lax.sort((k, i, f, v), num_keys=1)
+    )(-jax.lax.stop_gradient(errors), iota, fgf,
+      jnp.broadcast_to(validf, (C, N)))
 
     gts = jnp.sum(fg_s, axis=1, keepdims=True)         # (C, 1)
     inter = gts - jnp.cumsum(fg_s, axis=1)
@@ -98,7 +99,9 @@ def lovasz_softmax(probs, labels0, valid):
     # lovasz gradient: first element as-is, then differences
     grad = jnp.concatenate(
         [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1)
-    losses = jnp.sum(errors_s * grad, axis=1)          # (C,)
+    grad_u = jax.lax.stop_gradient(jax.vmap(
+        lambda g, p: jnp.zeros_like(g).at[p].set(g))(grad, perm))
+    losses = jnp.sum(errors * grad_u, axis=1)          # (C,)
     presentf = (gts[:, 0] > 0).astype(jnp.float32)
     return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)
 
