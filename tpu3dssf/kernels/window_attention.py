@@ -21,11 +21,24 @@ jnp reference implementation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """Plain-interpret every pallas_call (TPU3DSSF_PALLAS_INTERPRET=1).
+
+    Unlike ``pltpu.force_tpu_interpret_mode`` (whose io_callbacks cannot
+    live inside an SPMD-partitioned jit — the partitioner rejects
+    side-effecting HLO with replicated sharding), ``interpret=True``
+    traces the kernel body to ordinary HLO, so the multichip dryrun can
+    run the REAL flagship train step over a device mesh on CPU.
+    """
+    return os.environ.get("TPU3DSSF_PALLAS_INTERPRET") == "1"
 
 _NEG = -1e9
 
@@ -97,6 +110,7 @@ def _window_attention_pallas(q, k, v, key_mask):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=qkv_spec,
+        interpret=_interpret(),
     )(whkd(q), whkd(k), whkd(v), bias)
     out = jnp.transpose(out, (0, 2, 1, 3))
     # query-side zeroing (cheap VPU op; keeps the kernel mask-free on q)
@@ -162,6 +176,7 @@ def _window_attention_bwd_pallas(q, k, v, key_mask, g):
                                memory_space=pltpu.VMEM),
                   spec],
         out_specs=(spec, spec, spec),
+        interpret=_interpret(),
     )(whkd(qs), whkd(k), whkd(v), bias, whkd(g))
 
     def back(x):
