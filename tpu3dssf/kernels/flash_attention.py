@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu3dssf.kernels.window_attention import _interpret
+
 _NEG = -1e9
 _DEF_BLOCK_Q = 256
 # full-sequence K/V residency + f32 score temporaries slightly exceed the
@@ -84,6 +86,7 @@ def _flash_call(q, k, v, bias, block_q):
         in_specs=[qkv_spec_q, kv_spec, kv_spec, bias_spec],
         out_specs=qkv_spec_q,
         compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
     )(q, k, v, bias)
 
 
@@ -185,6 +188,7 @@ def _flash_bwd_call(qs, k, v, bias, g, block_q):
         in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec],
         out_specs=(q_spec, kv_spec, kv_spec),
         compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
     )(qs, k, v, bias, g)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
@@ -419,7 +423,142 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
         scratch_shapes=([pltpu.VMEM((block_q, N), jnp.float32)]
                         if use_scratch else []),
         compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
     )(*operands)
+
+
+def _packed_bwd_kernel(heads, q_scale, whole,
+                       qkv_q_ref, k_ref, v_ref, bias_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref):
+    """Packed-layout backward: everything stays (rows, channels).
+
+    Mirrors :func:`_packed_kernel`'s layout so the PTv3 training hot
+    path never leaves the packed (B, N, 3C) world: the old route
+    (``_flash_bwd_call``) relayouts q/k/v/g and three grads through
+    (B, H, N, D) tiles whose trailing D=16 pads 8x in HBM at PTv3 head
+    width — measured as the bulk of the 2.4 ms/block attention backward
+    (scripts/attr_bwd.py, round 4). dk/dv accumulate across q-blocks in
+    the REVISITED output block (its index map is constant in the
+    innermost grid axis, so Mosaic keeps it in VMEM and writes back
+    once), exactly like the (B, H, N, D) backward.
+
+    The scale is applied on load (s = (q·scale)·kᵀ, dk = dsᵀ·(q·scale))
+    and on the dq store (dq = (ds·k)·scale).
+    """
+    i = pl.program_id(2)  # q-block axis (innermost; grid padded to 3D)
+    bias = bias_ref[0, 0][None, :]
+    C = do_ref.shape[-1]
+    D = C // heads
+    k_base = C if whole else 0
+    v_base = 2 * C if whole else 0
+    for h in range(heads):
+        lo = h * D
+        q = qkv_q_ref[0, :, lo:lo + D] * jnp.asarray(
+            q_scale, qkv_q_ref.dtype)                     # (Bq, D) scaled
+        k = k_ref[0, :, k_base + lo:k_base + lo + D]      # (N, D)
+        v = v_ref[0, :, v_base + lo:v_base + lo + D]
+        do = do_ref[0, :, lo:lo + D]                      # (Bq, D)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (Bq, N)
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+
+        pt = p.astype(v.dtype)
+        dv = jax.lax.dot_general(  # pᵀ do → (N, D)
+            pt, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(  # do vᵀ → (Bq, N)
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsl = ds.astype(q.dtype)
+        dq = jnp.dot(dsl, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(  # dsᵀ (q·scale) → (N, D)
+            dsl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, :, lo:lo + D] = (dq * q_scale).astype(dq_ref.dtype)
+
+        @pl.when(i == 0)
+        def _(dk_=dk, dv_=dv, lo_=lo):
+            dk_ref[0, :, lo_:lo_ + D] = dk_
+            dv_ref[0, :, lo_:lo_ + D] = dv_
+
+        @pl.when(i > 0)
+        def _(dk_=dk, dv_=dv, lo_=lo):
+            dk_ref[0, :, lo_:lo_ + D] += dk_
+            dv_ref[0, :, lo_:lo_ + D] += dv_
+
+
+def _packed_bwd_call(qkv, bias, g, heads, block_q, q_scale, head_group):
+    """dqkv for :func:`flash_attention_packed` without leaving the
+    packed layout. Returns (B, N, 3C) in qkv.dtype."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    hg = heads if head_group is None else head_group
+    G = heads // hg
+    Cg = C // G
+    whole = bool(C % 128) and G == 1
+    nq = N // block_q
+
+    if G > 1:
+        def cspec(which, rows):
+            if rows == N:
+                return pl.BlockSpec(
+                    (1, N, Cg), lambda b, h, i, w=which: (b, 0, w * G + h),
+                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                (1, rows, Cg), lambda b, h, i, w=which: (b, i, w * G + h),
+                memory_space=pltpu.VMEM)
+
+        bias_spec = pl.BlockSpec((1, 1, N), lambda b, h, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        do_spec = pl.BlockSpec((1, block_q, Cg),
+                               lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM)
+        dkv_spec = pl.BlockSpec((1, N, Cg), lambda b, h, i: (b, 0, h),
+                                memory_space=pltpu.VMEM)
+        grid = (B, G, nq)
+    else:
+        def cspec(which, rows):
+            cols = C3 if whole else C
+            wh = 0 if whole else which
+            if rows == N:
+                return pl.BlockSpec((1, N, cols),
+                                    lambda b, _g, i, w=wh: (b, 0, w),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((1, rows, cols),
+                                lambda b, _g, i, w=wh: (b, i, w),
+                                memory_space=pltpu.VMEM)
+
+        bias_spec = pl.BlockSpec((1, 1, N), lambda b, _g, i: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        do_spec = pl.BlockSpec((1, block_q, C),
+                               lambda b, _g, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+        dkv_spec = pl.BlockSpec((1, N, C), lambda b, _g, i: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        grid = (B, 1, nq)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, hg,
+                          1.0 if q_scale is None else q_scale, whole),
+        out_shape=(jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, C), jnp.float32)),
+        grid=grid,
+        in_specs=[cspec(0, block_q), cspec(1, N), cspec(2, N), bias_spec,
+                  do_spec],
+        out_specs=(do_spec if G > 1 else pl.BlockSpec(
+            (1, block_q, C), lambda b, _g, i: (b, i, 0),
+            memory_space=pltpu.VMEM), dkv_spec, dkv_spec),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, bias, g)
+    return jnp.concatenate(
+        [dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1)
 
 
 def _fap_fwd(qkv, key_bias, heads, block_q, rope_cos, rope_sin, q_scale,
@@ -431,15 +570,21 @@ def _fap_fwd(qkv, key_bias, heads, block_q, rope_cos, rope_sin, q_scale,
 
 
 def _fap_bwd(heads, block_q, q_scale, head_group, res, g):
-    """Backward via the (B,H,N,D) Pallas backward — the layout shuffles
-    only run when the ViT is actually being fine-tuned.
+    """Backward. RoPE-free callers (the PTv3 stages — the training hot
+    path) stay in the packed layout end to end via
+    :func:`_packed_bwd_call`; with RoPE (ViT fine-tuning only) the
+    (B,H,N,D) Pallas backward runs with explicit layout shuffles.
 
-    RoPE/scale handling: forward computes attn(s·R(q), R(k), v), so
-    dL/dq = s·Rᵀ(dL/d[s·Rq]) and dL/dk = Rᵀ(dL/d[Rk]) — the grads are
-    inverse-rotated before repacking. rope_cos/rope_sin get ZERO grads
-    (documented constants).
+    RoPE/scale handling (rope path): forward computes
+    attn(s·R(q), R(k), v), so dL/dq = s·Rᵀ(dL/d[s·Rq]) and
+    dL/dk = Rᵀ(dL/d[Rk]) — the grads are inverse-rotated before
+    repacking. rope_cos/rope_sin get ZERO grads (documented constants).
     """
     qkv, key_bias, rope_cos, rope_sin = res
+    if rope_cos is None:
+        dqkv = _packed_bwd_call(qkv, key_bias.astype(jnp.float32), g,
+                                heads, block_q, q_scale, head_group)
+        return dqkv, jnp.zeros_like(key_bias), None, None
     B, N, C3 = qkv.shape
     C = C3 // 3
     D = C // heads
