@@ -230,6 +230,7 @@ def main():
               file=sys.stderr)
         dt = chained_slope(step, warmup=False)
         pts_per_sec = POINT_CAP * BATCH / dt
+        from tpu3dssf.utils.timing import peak_hbm_mb
         print(f"[bench] e2e(vitl) {dt*1e3:.1f} ms/batch-of-{BATCH} "
               f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
         print(json.dumps({
@@ -238,6 +239,7 @@ def main():
             "unit": "points/s",
             "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC,
                                  3),
+            "peak_hbm_mb": round(peak_hbm_mb(), 1),
         }))
         return
 
@@ -262,11 +264,13 @@ def main():
     print(f"[bench] e2e {dt*1e3:.1f} ms/batch-of-{BATCH} "
           f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
 
+    from tpu3dssf.utils.timing import peak_hbm_mb
     print(json.dumps({
         "metric": "fused_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 3),
+        "peak_hbm_mb": round(peak_hbm_mb(), 1),
     }))
 
 

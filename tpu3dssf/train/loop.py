@@ -321,10 +321,17 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
             zero_tokens_fn=zero_tokens_fn)
         val_acc = float(metrics["overall_acc"])
         val_hist.append(val_acc)
+        # device-memory high-water mark (0.0 on backends without stats):
+        # the datum batching/remat decisions need (VERDICT r3 task 8)
+        from tpu3dssf.utils.timing import peak_hbm_mb
+        hbm_mb = peak_hbm_mb()
+        if hbm_mb:
+            print(f"  peak HBM: {hbm_mb:,.0f} MiB")
         history.append({
             "epoch": epoch,
             "train_loss": run_loss / max(it, 1),
             "train_acc": tr_acc,
+            "peak_hbm_mb": hbm_mb,
             **{k: (v.tolist() if np.ndim(v) else float(v))
                for k, v in metrics.items()},
         })
@@ -337,6 +344,7 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
             "val/recall": float(metrics["recall"]),
             "val/f1": float(metrics["f1"]),
             "epoch": epoch,
+            "peak_hbm_mb": hbm_mb,
         })
 
         if val_acc > best_acc:

@@ -129,6 +129,25 @@ def chained_slope(step: Callable, n1: int = 2, n2: int = 8,
     return slope
 
 
+def peak_hbm_mb() -> float:
+    """Peak device-memory high-water mark in MiB (0.0 if unavailable).
+
+    Reads ``peak_bytes_in_use`` from the default device's memory stats —
+    the datum remat/batching decisions need (VERDICT r3 task 8; reference
+    analog: utils/evaluation.py:76-81 ``torch.cuda.memory_allocated``).
+    The CPU backend exposes no stats; the axon TPU plugin does.
+    """
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            peak = stats.get("peak_bytes_in_use",
+                             stats.get("bytes_in_use", 0))
+            return peak / (1024 ** 2)
+    except Exception:
+        pass
+    return 0.0
+
+
 def measure_efficiency(func, *args, **kwargs):
     """Wall-time + device-memory snapshot around one call.
 
