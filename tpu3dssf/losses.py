@@ -85,16 +85,22 @@ def lovasz_softmax(probs, labels0, valid):
     errors = jnp.where(valid[None, :],
                        jnp.abs(fgf - probs.T), 0.0)    # (C, N)
 
+    # validity needs NO carried operand: invalid entries have error
+    # exactly 0 and every position that CONTRIBUTES (errors > 0 — zero-
+    # error positions multiply grad_u by 0 below) is preceded only by
+    # error ≥ itself > 0, i.e. only by valid entries — so the valid-
+    # prefix count at any contributing position is just position+1.
+    # That drops the sort to 3 operands and three cumsums to one.
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (C, N))
-    _, perm, fg_s, valid_s = jax.vmap(
-        lambda k, i, f, v: jax.lax.sort((k, i, f, v), num_keys=1)
-    )(-jax.lax.stop_gradient(errors), iota, fgf,
-      jnp.broadcast_to(validf, (C, N)))
+    _, perm, fg_s = jax.vmap(
+        lambda k, i, f: jax.lax.sort((k, i, f), num_keys=1)
+    )(-jax.lax.stop_gradient(errors), iota, fgf)
 
     gts = jnp.sum(fg_s, axis=1, keepdims=True)         # (C, 1)
-    inter = gts - jnp.cumsum(fg_s, axis=1)
-    union = gts + jnp.cumsum(1.0 - fg_s, axis=1) \
-        - jnp.cumsum(1.0 - valid_s, axis=1)
+    cfg = jnp.cumsum(fg_s, axis=1)
+    inter = gts - cfg
+    union = gts + (jnp.arange(1, N + 1, dtype=jnp.float32)[None, :]
+                   - cfg)
     jaccard = 1.0 - inter / jnp.maximum(union, 1e-12)
     # lovasz gradient: first element as-is, then differences
     grad = jnp.concatenate(
