@@ -73,11 +73,21 @@ def main():
             (dqkv,) = vjp(g)
             return jnp.sum(dqkv.astype(jnp.float32))
 
+        from tpu3dssf.kernels.window_attention import (
+            window_attention_packed)
+
+        def hybrid_fb(qkv, g):
+            out, vjp = jax.vjp(
+                lambda p: window_attention_packed(p, mask, H), qkv)
+            (dqkv,) = vjp(g)
+            return jnp.sum(dqkv.astype(jnp.float32))
+
         it = 100 if n <= 13312 else 50
         rows = []
         for label, fn in (("window fwd", win_f), ("window f+b", win_fb),
                           ("packed fwd", packed_f),
-                          ("packed f+b", packed_fb)):
+                          ("packed f+b", packed_fb),
+                          ("hybrid f+b", hybrid_fb)):
             try:
                 dt = time_device(fn, qkv, g, iters=it)
                 rows.append(f"{label} {dt*1e3:7.3f} ms")

@@ -349,3 +349,34 @@ def test_pick_head_group():
     assert pick_head_group(12, 768) == 4     # 12 % 8 != 0 -> 3 x 256
     assert pick_head_group(16, 128) is None  # D=8: no aligned width
     assert pick_head_group(6, 384) == 2      # 6 % 8, 6 % 4 != 0
+
+
+def test_window_attention_packed_hybrid(rng):
+    """Small-C hybrid (packed whole-3C fwd + (W,H,K,D) bwd) vs the jnp
+    reference autodiff — forward and all three grads through the packed
+    layout."""
+    from tpu3dssf.kernels.window_attention import (
+        window_attention_packed, window_attention_reference)
+
+    W, K, H, D = 2, 128, 2, 8
+    C = H * D
+    qkv = jnp.asarray(rng.normal(size=(W, K, 3 * C)), jnp.float32)
+    mask = jnp.asarray(rng.random((W, K)) > 0.2)
+    g = jnp.asarray(rng.normal(size=(W, K, C)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(
+            lambda p: window_attention_packed(p, mask, H), qkv)
+        (dqkv,) = vjp(g)
+
+    def ref(p):
+        q4 = p.reshape(W, K, 3, H, D)
+        return window_attention_reference(
+            q4[:, :, 0], q4[:, :, 1], q4[:, :, 2], mask).reshape(W, K, C)
+
+    want, wvjp = jax.vjp(ref, qkv)
+    (wdq,) = wvjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(wdq),
+                               atol=1e-5, rtol=1e-5)

@@ -185,6 +185,63 @@ def _window_attention_bwd_pallas(q, k, v, key_mask, g):
     return back(dq) * jnp.asarray(scale, q.dtype), back(dk), back(dv)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def window_attention_packed(qkv, key_mask, heads):
+    """Small-C (C % 128 != 0) windowed MHA, packed layout.
+
+    Measured per-direction winners at the PTv3 C ∈ {32, 64} stages
+    (scripts/time_smallc_attn.py): INFERENCE (the primal, taken when
+    nothing differentiates through the call) uses the packed whole-3C
+    Pallas forward — zero transposes, 0.70 vs 1.40 ms at dec0 shapes;
+    TRAINING (the custom_vjp fwd/bwd rules) uses the (W, K, H, D)
+    window kernels both ways, the fastest measured fwd+bwd combination
+    (the packed backward's f32 dk/dv at 32-lane width loses what the
+    packed forward gains, and hybrid packed-fwd+window-bwd re-pays the
+    relayout). qkv is (W, K, 3C) straight off the Dense projection;
+    returns (W, K, C) with masked-query rows zeroed (same contract as
+    :func:`window_attention_reference`).
+    """
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  pick_block_q)
+    W, K, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+    bias = jnp.where(key_mask, 0.0, _NEG)[:, None, :]
+    out = flash_attention_packed(qkv, bias, heads, pick_block_q(K),
+                                 None, None, 1.0 / (D ** 0.5), None)
+    return out * key_mask[..., None].astype(out.dtype)
+
+
+def _wap_fwd(qkv, key_mask, heads):
+    # training forward: the (W, K, H, D) window kernel — the qkv
+    # reshape is free (contiguous) and window fwd + window bwd is the
+    # fastest measured training pair at small C
+    W, K, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+    q4 = qkv.reshape(W, K, 3, heads, D)
+    out = _window_attention_pallas(q4[:, :, 0], q4[:, :, 1], q4[:, :, 2],
+                                   key_mask)
+    return out.reshape(W, K, C), (qkv, key_mask)
+
+
+def _wap_bwd(heads, res, g):
+    qkv, key_mask = res
+    W, K, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+    q4 = qkv.reshape(W, K, 3, heads, D)
+    dq, dk, dv = _window_attention_bwd_pallas(
+        q4[:, :, 0], q4[:, :, 1], q4[:, :, 2], key_mask, g.reshape(
+            W, K, heads, D))
+    dqkv = jnp.concatenate([dq.reshape(W, K, C), dk.reshape(W, K, C),
+                            dv.reshape(W, K, C)], axis=-1)
+    return dqkv, None
+
+
+window_attention_packed.defvjp(_wap_fwd, _wap_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def window_attention(q, k, v, key_mask, use_pallas=True):
     """Windowed MHA; Pallas forward on TPU, jnp fallback elsewhere.

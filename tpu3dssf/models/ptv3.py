@@ -377,6 +377,14 @@ class SerializedAttention(nn.Module):
                 qkvw, bias, H, pick_block_q(K), None, None,
                 1.0 / (D ** 0.5), hg)
             out = out * key_mask[..., None].astype(out.dtype)
+        elif self.use_pallas and K % 128 == 0 and H <= 8:
+            # small-C stages (C 32/64): packed whole-3C forward +
+            # (W, H, K, D) backward — measured fastest combination
+            # (scripts/time_smallc_attn.py; dec0 fwd 1.39 -> 0.72 ms)
+            from tpu3dssf.kernels.window_attention import (
+                window_attention_packed)
+            out = window_attention_packed(
+                qkv.reshape(B * W, K, 3 * C), key_mask, H)
         else:
             qkv4 = qkv.reshape(B * W, K, 3, H, D)
             q, k, v = qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2]
