@@ -230,16 +230,25 @@ def main():
               file=sys.stderr)
         dt = chained_slope(step, warmup=False)
         pts_per_sec = POINT_CAP * BATCH / dt
-        from tpu3dssf.utils.timing import peak_hbm_mb
+        from tpu3dssf.utils.timing import peak_hbm_mb, program_peak_mb
         print(f"[bench] e2e(vitl) {dt*1e3:.1f} ms/batch-of-{BATCH} "
               f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
+        # runtime high-water mark when the platform exposes stats; the
+        # axon plugin returns none → static XLA buffer-assignment peak
+        # of the post-encode program (the looped-encode blocks are small)
+        hbm, src = peak_hbm_mb(), "runtime"
+        if hbm == 0.0:
+            hbm, src = program_peak_mb(
+                rest, tokens0.reshape((BATCH * 6,) + tokens0.shape[2:]),
+                points, valid, K, Rt, jnp.float32(0.0)), "static"
         print(json.dumps({
             "metric": "fused_points_per_sec_per_chip_vitl",
             "value": round(pts_per_sec, 1),
             "unit": "points/s",
             "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC,
                                  3),
-            "peak_hbm_mb": round(peak_hbm_mb(), 1),
+            "peak_hbm_mb": round(hbm, 1),
+            "peak_hbm_source": src,
         }))
         return
 
@@ -264,13 +273,22 @@ def main():
     print(f"[bench] e2e {dt*1e3:.1f} ms/batch-of-{BATCH} "
           f"({pts_per_sec:,.0f} points/s)", file=sys.stderr)
 
-    from tpu3dssf.utils.timing import peak_hbm_mb
+    from tpu3dssf.utils.timing import peak_hbm_mb, program_peak_mb
+    hbm, src = peak_hbm_mb(), "runtime"
+    if hbm == 0.0:
+        # axon exposes no runtime memory_stats (probe_memory.py):
+        # report the static XLA buffer-assignment peak of the fused
+        # program instead (trace + cache-hit compile, a few seconds)
+        hbm, src = program_peak_mb(
+            lambda im, pts, pv, ck, lc: fused_infer(im, pts, pv, ck, lc),
+            images, points, valid, K, Rt), "static"
     print(json.dumps({
         "metric": "fused_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 3),
-        "peak_hbm_mb": round(peak_hbm_mb(), 1),
+        "peak_hbm_mb": round(hbm, 1),
+        "peak_hbm_source": src,
     }))
 
 

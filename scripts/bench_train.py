@@ -30,8 +30,11 @@ def batch_scaling(batches):
                                         SegmentationPipeline)
     from tpu3dssf.models.ptv3 import PTv3Config
     from tpu3dssf.train import create_train_state
-    from tpu3dssf.utils.timing import peak_hbm_mb, time_device
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    from tpu3dssf.utils.timing import (peak_hbm_mb, program_peak_mb,
+                                       time_device)
 
+    enable_compile_cache()
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     P, V, W = 34816, 25600, 1024
@@ -79,12 +82,47 @@ def batch_scaling(batches):
 
             t0 = time.perf_counter()
             dt = time_device(step, batch["points"], tokens, iters=10)
+            # axon exposes no runtime memory_stats; TRAIN_MEM=1 pays one
+            # extra compile per B for the static XLA peak of the step
+            hbm = peak_hbm_mb()
+            if hbm == 0.0 and os.environ.get("TRAIN_MEM") == "1":
+                hbm = program_peak_mb(step, batch["points"], tokens)
             print(f"fusion train B={B:2d} ({P} pts/sample"
                   f"{', remat' if remat else ''}): {dt*1e3:7.1f} ms "
                   f"({B*P/dt:,.0f} points/s, "
                   f"{B*P/dt/B:,.0f} pts/s/sample-slot) "
-                  f"peak_hbm={peak_hbm_mb():,.0f} MiB "
+                  f"peak_hbm={hbm:,.0f} MiB "
                   f"[compile {time.perf_counter()-t0:.0f}s]")
+            if os.environ.get("TRAIN_PHASES") == "1":
+                # fwd/bwd split per B — locates where the per-point
+                # drift at large B lands (fwd working set vs bwd)
+                def fwd_only(points, toks, state=state, batch=batch):
+                    logits = state.apply_fn(
+                        state.params, points, batch["point_valid"],
+                        toks, batch["cam_intrinsics"],
+                        batch["lidar2cam"])
+                    return loss_fn(logits, batch["labels"],
+                                   batch["mask"]).total
+
+                def fwd_bwd(points, toks, state=state, batch=batch):
+                    def loss(p):
+                        logits = state.apply_fn(
+                            p, points, batch["point_valid"], toks,
+                            batch["cam_intrinsics"], batch["lidar2cam"])
+                        return loss_fn(logits, batch["labels"],
+                                       batch["mask"]).total
+
+                    l, grads = jax.value_and_grad(loss)(state.params)
+                    return l + sum(jnp.sum(g.astype(jnp.float32))
+                                   for g in jax.tree.leaves(grads))
+
+                d_f = time_device(fwd_only, batch["points"], tokens,
+                                  iters=10)
+                d_fb = time_device(fwd_bwd, batch["points"], tokens,
+                                   iters=10)
+                print(f"    fwd {d_f*1e3:6.1f} ms | bwd "
+                      f"{(d_fb-d_f)*1e3:6.1f} ms | opt+misc "
+                      f"{(dt-d_fb)*1e3:6.1f} ms")
         except Exception as e:  # OOM etc. — report and continue
             print(f"fusion train B={B:2d}: FAILED "
                   f"{type(e).__name__}: {str(e)[:300]}")

@@ -58,3 +58,22 @@ def test_chained_slope_guards_nonpositive_slope(monkeypatch):
         dt = timing.chained_slope(lambda acc: acc + 1.0, n1=2, n2=8)
     assert np.isnan(dt)
     assert any("non-positive slope" in str(x.message) for x in w)
+
+
+def test_program_peak_mb_static_analysis():
+    """program_peak_mb reads XLA's buffer-assignment peak — the fallback
+    datum when the runtime exposes no memory_stats (the axon TPU plugin
+    returns None, scripts/probe_memory.py). The peak must cover at least
+    the argument buffers and never be absurd."""
+    from tpu3dssf.utils.timing import program_peak_mb
+
+    x = jnp.zeros((512, 512), jnp.float32)  # 1 MiB argument
+    peak = program_peak_mb(lambda a: (a @ a).sum(), x)
+    assert peak >= 1.0        # holds the input at minimum
+    assert peak < 64.0        # sanity: a 1 MiB matmul is not 64 MiB
+
+    # failure contract: un-jittable callables report 0.0, never raise
+    def unlowerable(a):
+        raise RuntimeError("boom")
+
+    assert program_peak_mb(unlowerable, x) == 0.0

@@ -148,6 +148,25 @@ def peak_hbm_mb() -> float:
     return 0.0
 
 
+def program_peak_mb(fn: Callable, *args) -> float:
+    """Static peak-HBM of ``jit(fn)(*args)`` in MiB (0.0 on failure).
+
+    XLA's buffer assignment knows the exact high-water mark of one
+    program (``memory_analysis().peak_memory_in_bytes``: arguments +
+    outputs + live temporaries). This is the fallback datum when the
+    runtime exposes no ``memory_stats()`` — the axon TPU plugin returns
+    None (probed, scripts/probe_memory.py) so :func:`peak_hbm_mb` reads
+    0.0 there. Static analysis is per-program, not per-process: it
+    excludes other live buffers, which is exactly what batching/remat
+    decisions need. Costs one trace + (cache-hit) compile.
+    """
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        return compiled.memory_analysis().peak_memory_in_bytes / (1024 ** 2)
+    except Exception:
+        return 0.0
+
+
 def measure_efficiency(func, *args, **kwargs):
     """Wall-time + device-memory snapshot around one call.
 
