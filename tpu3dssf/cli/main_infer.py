@@ -34,6 +34,8 @@ def main(argv=None):
     cfg = load_config(args.config)
 
     import jax
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from tpu3dssf.cli import common
     from tpu3dssf.metrics import format_metrics
     from tpu3dssf.parallel import create_mesh, replicate, shard_batch

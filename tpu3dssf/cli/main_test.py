@@ -28,7 +28,10 @@ def main(argv=None):
     from tpu3dssf.cli import common
     from tpu3dssf.train.checkpoint import restore_checkpoint
     from tpu3dssf.train.loop import evaluate_model, make_eval_step
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
     from tpu3dssf.utils.viz import plot_iou_per_class
+
+    enable_compile_cache()
 
     datasets = common.build_datasets(cfg)
     loaders = common.build_dataloaders(cfg, datasets)

@@ -43,6 +43,11 @@ def main(argv=None):
 
     import jax
     print(f"Using devices: {jax.devices()}")
+    # persistent compilation cache: resumed/repeated runs on this host
+    # skip recompiling unchanged programs (cold ViT compiles are minutes
+    # over the tunneled AOT service, PERF.md "Compile time")
+    from tpu3dssf.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from tpu3dssf.cli import common
     from tpu3dssf.train.loop import train_model
