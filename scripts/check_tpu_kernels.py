@@ -15,6 +15,7 @@ against the XLA window-attention oracle:
 Run bare (grabs the TPU): python scripts/check_tpu_kernels.py
 """
 
+import functools
 import os
 import sys
 
@@ -77,6 +78,75 @@ def check_window(W, K, H, D):
     assert err < 0.05, err
 
 
+def check_bwd_window(W, K, H, D):
+    """Pallas window fwd+bwd (stats-fed: saved LSE + rowsum(do*o))
+    vs the XLA reference vjp, ON CHIP (the (1,1,K,1) stats blocks and
+    the exp(s-lse) path have real-TPU-only layout constraints)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu3dssf.kernels.window_attention import window_attention
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(W, K, H, D)), jnp.bfloat16)
+    mask = np.ones((W, K), bool)
+    mask[:, K - 37:] = False
+    mask = jnp.asarray(mask)
+
+    def loss(q_, k_, v_, pallas):
+        o = window_attention(q_, k_, v_, mask, pallas)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gp = jax.jit(jax.grad(functools.partial(loss, pallas=True),
+                          argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.grad(functools.partial(loss, pallas=False),
+                  argnums=(0, 1, 2))(q, k, v)
+    err = max(float(jnp.abs(a.astype(jnp.float32)
+                            - b.astype(jnp.float32)).max())
+              for a, b in zip(gp, gx))
+    scale = max(float(jnp.abs(b.astype(jnp.float32)).max()) for b in gx)
+    print(f"window_attention bwd (W={W}, K={K}, H={H}, D={D}): "
+          f"max|dgrad| vs XLA = {err:.4f} (grad scale {scale:.1f})")
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def check_bwd_packed(B, N, C, H, head_group=None):
+    """Packed flash fwd+bwd (stats-fed (B, heads, N) LSE/delta blocks)
+    vs the XLA reference vjp, ON CHIP."""
+    import jax
+    import jax.numpy as jnp
+    from tpu3dssf.kernels.flash_attention import (flash_attention_packed,
+                                                  pick_block_q)
+    from tpu3dssf.kernels.window_attention import window_attention
+
+    D = C // H
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)), jnp.bfloat16)
+    bias = jnp.zeros((B, 1, N), jnp.float32)
+
+    def loss_p(x):
+        o = flash_attention_packed(x, bias, H, pick_block_q(N), None,
+                                   None, 1.0 / D ** 0.5, head_group)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_x(x):
+        q, k, v = (x.reshape(B, N, 3, H, D)[:, :, i] for i in range(3))
+        o = window_attention(q, k, v, jnp.ones((B, N), bool), False)
+        return jnp.sum(o.reshape(B, N, C).astype(jnp.float32) ** 2)
+
+    gp = jax.jit(jax.grad(loss_p))(qkv)
+    gx = jax.grad(loss_x)(qkv)
+    err = float(jnp.abs(gp.astype(jnp.float32)
+                        - gx.astype(jnp.float32)).max())
+    scale = float(jnp.abs(gx.astype(jnp.float32)).max())
+    mode = ("whole-3C" if C % 128 else
+            f"head-group={head_group}" if head_group else "channel-block")
+    print(f"packed flash bwd {mode:13s} (B={B}, N={N}, C={C}, H={H}): "
+          f"max|dgrad| vs XLA = {err:.4f} (grad scale {scale:.1f})")
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
 def main():
     import jax
     from tpu3dssf.utils.compile_cache import enable_compile_cache
@@ -90,6 +160,10 @@ def main():
     # PTv3 s3-dec/s4 many-head window geometry (H=16/32 -> head groups)
     check(B=4, N=1024, C=256, H=16, head_group=8)
     check(B=2, N=1024, C=512, H=32, head_group=8)
+    # training directions (stats-fed backward kernels)
+    check_bwd_window(W=25, K=1024, H=2, D=16)    # PTv3 s0/s1 + small-C
+    check_bwd_packed(B=4, N=1024, C=128, H=8)    # s2 channel-block
+    check_bwd_packed(B=2, N=1024, C=512, H=32, head_group=8)  # s4 groups
     print("OK")
 
 

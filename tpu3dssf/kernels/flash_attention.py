@@ -227,7 +227,7 @@ def _rot_halves(x1, x2, cos, sin):
     return x1 * cos - x2 * sin, x1 * sin + x2 * cos
 
 
-def _packed_kernel(heads, q_scale, use_rope, use_scratch, whole,
+def _packed_kernel(heads, q_scale, use_rope, use_scratch, whole, with_lse,
                    qkv_q_ref, k_ref, v_ref, bias_ref,
                    *rope_refs_and_out):
     """Packed-layout flash attention: everything stays (rows, C).
@@ -247,6 +247,7 @@ def _packed_kernel(heads, q_scale, use_rope, use_scratch, whole,
     """
     refs = list(rope_refs_and_out)
     scr_ref = refs.pop() if use_scratch else None
+    lse_ref = refs.pop() if with_lse else None
     if use_rope:
         cq_ref, sq_ref, ck_ref, sk_ref, o_ref = refs
     else:
@@ -290,11 +291,12 @@ def _packed_kernel(heads, q_scale, use_rope, use_scratch, whole,
             # many-head configs (ViT-L: 16 x 4.3 MB)
             scr_ref[...] = e
             e = scr_ref[...]
-        denom = jnp.sum(e, axis=-1, keepdims=True)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
         o = jnp.dot(e.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)
-        o_ref[0, :, lo:lo + D] = (o / jnp.maximum(denom, 1e-20)).astype(
-            o_ref.dtype)
+        o_ref[0, :, lo:lo + D] = (o / denom).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, h, :] = (m + jnp.log(denom))[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 6, 7))
@@ -324,6 +326,24 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
     (B,H,N,D) transposes in the fallback kernel. Requires the group
     channel width C/(heads/head_group) to be a multiple of 128.
     """
+    return _packed_fwd_call(qkv, key_bias, heads, block_q, rope_cos,
+                            rope_sin, q_scale, head_group, with_lse=False)
+
+
+def _lse_layout_ok(heads, head_group, block_q, n):
+    """(B, heads, N) f32 side outputs need a legal Mosaic block:
+    (1, hg, block_q) — hg a multiple of 8 (or the whole head axis) and
+    block_q a multiple of 128 (or the whole row axis). True at every
+    PTv3 packed-stage geometry (K ∈ {128..1024} windows → block_q a
+    power of two ≥128; hg = 8)."""
+    hg = heads if head_group is None else head_group
+    g = heads // hg
+    return ((g == 1 or hg % 8 == 0)
+            and (block_q % 128 == 0 or block_q == n))
+
+
+def _packed_fwd_call(qkv, key_bias, heads, block_q, rope_cos, rope_sin,
+                     q_scale, head_group, with_lse):
     B, N, C3 = qkv.shape
     C = C3 // 3
     if N % block_q:
@@ -412,11 +432,24 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
         operands += [cs, sn, cs, sn]
 
     use_scratch = hg > 8
+    out_shape = jax.ShapeDtypeStruct((B, N, C), qkv.dtype)
+    if with_lse:
+        if G > 1:
+            lse_spec = pl.BlockSpec((1, hg, block_q),
+                                    lambda b, g, i: (b, g, i),
+                                    memory_space=pltpu.VMEM)
+        else:
+            lse_spec = pl.BlockSpec((1, heads, block_q),
+                                    lambda b, i: (b, 0, i),
+                                    memory_space=pltpu.VMEM)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, heads, N), jnp.float32))
+        out_spec = (out_spec, lse_spec)
     return pl.pallas_call(
         functools.partial(_packed_kernel, hg,
                           1.0 if q_scale is None else q_scale, use_rope,
-                          use_scratch, whole),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+                          use_scratch, whole, with_lse),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -427,9 +460,8 @@ def flash_attention_packed(qkv, key_bias, heads, block_q=_DEF_BLOCK_Q,
     )(*operands)
 
 
-def _packed_bwd_kernel(heads, q_scale, whole,
-                       qkv_q_ref, k_ref, v_ref, bias_ref, do_ref,
-                       dq_ref, dk_ref, dv_ref):
+def _packed_bwd_kernel(heads, q_scale, whole, use_stats,
+                       qkv_q_ref, k_ref, v_ref, bias_ref, *rest):
     """Packed-layout backward: everything stays (rows, channels).
 
     Mirrors :func:`_packed_kernel`'s layout so the PTv3 training hot
@@ -442,9 +474,20 @@ def _packed_bwd_kernel(heads, q_scale, whole,
     innermost grid axis, so Mosaic keeps it in VMEM and writes back
     once), exactly like the (B, H, N, D) backward.
 
+    With ``use_stats`` the forward's log-sum-exp and the precomputed
+    row term rowsum(do·o) arrive as (B, heads, N) inputs, so the
+    softmax recompute is one exp and the (Bq, N) ``dp·p`` row-sum
+    disappears — the same two flash-backward identities as
+    ``window_attention._attn_bwd_kernel``.
+
     The scale is applied on load (s = (q·scale)·kᵀ, dk = dsᵀ·(q·scale))
     and on the dq store (dq = (ds·k)·scale).
     """
+    if use_stats:
+        (lse_ref, delta_ref, do_ref, dq_ref, dk_ref, dv_ref) = rest
+    else:
+        lse_ref = delta_ref = None
+        (do_ref, dq_ref, dk_ref, dv_ref) = rest
     i = pl.program_id(2)  # q-block axis (innermost; grid padded to 3D)
     bias = bias_ref[0, 0][None, :]
     C = do_ref.shape[-1]
@@ -462,9 +505,13 @@ def _packed_bwd_kernel(heads, q_scale, whole,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (Bq, N)
         s = s + bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+        if use_stats:
+            p = jnp.exp(s - lse_ref[0, h, :][:, None])
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                                1e-20)
 
         pt = p.astype(v.dtype)
         dv = jax.lax.dot_general(  # pᵀ do → (N, D)
@@ -473,7 +520,9 @@ def _packed_bwd_kernel(heads, q_scale, whole,
         dp = jax.lax.dot_general(  # do vᵀ → (Bq, N)
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        row = (delta_ref[0, h, :][:, None] if use_stats
+               else jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = p * (dp - row)
         dsl = ds.astype(q.dtype)
         dq = jnp.dot(dsl, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(  # dsᵀ (q·scale) → (N, D)
@@ -492,9 +541,12 @@ def _packed_bwd_kernel(heads, q_scale, whole,
             dv_ref[0, :, lo_:lo_ + D] += dv_
 
 
-def _packed_bwd_call(qkv, bias, g, heads, block_q, q_scale, head_group):
+def _packed_bwd_call(qkv, bias, g, heads, block_q, q_scale, head_group,
+                     lse=None, delta=None):
     """dqkv for :func:`flash_attention_packed` without leaving the
-    packed layout. Returns (B, N, 3C) in qkv.dtype."""
+    packed layout. Returns (B, N, 3C) in qkv.dtype. ``lse``/``delta``
+    (B, heads, N) f32, both or neither, switch the kernel to the
+    stats-fed fast path."""
     B, N, C3 = qkv.shape
     C = C3 // 3
     hg = heads if head_group is None else head_group
@@ -502,6 +554,7 @@ def _packed_bwd_call(qkv, bias, g, heads, block_q, q_scale, head_group):
     Cg = C // G
     whole = bool(C % 128) and G == 1
     nq = N // block_q
+    use_stats = lse is not None
 
     if G > 1:
         def cspec(which, rows):
@@ -520,6 +573,9 @@ def _packed_bwd_call(qkv, bias, g, heads, block_q, q_scale, head_group):
                                memory_space=pltpu.VMEM)
         dkv_spec = pl.BlockSpec((1, N, Cg), lambda b, h, i: (b, 0, h),
                                 memory_space=pltpu.VMEM)
+        stats_spec = pl.BlockSpec((1, hg, block_q),
+                                  lambda b, h, i: (b, h, i),
+                                  memory_space=pltpu.VMEM)
         grid = (B, G, nq)
     else:
         def cspec(which, rows):
@@ -540,33 +596,51 @@ def _packed_bwd_call(qkv, bias, g, heads, block_q, q_scale, head_group):
                                memory_space=pltpu.VMEM)
         dkv_spec = pl.BlockSpec((1, N, C), lambda b, _g, i: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
+        stats_spec = pl.BlockSpec((1, heads, block_q),
+                                  lambda b, _g, i: (b, 0, i),
+                                  memory_space=pltpu.VMEM)
         grid = (B, 1, nq)
 
+    in_specs = [cspec(0, block_q), cspec(1, N), cspec(2, N), bias_spec]
+    operands = [qkv, qkv, qkv, bias]
+    if use_stats:
+        in_specs += [stats_spec, stats_spec]
+        operands += [lse, delta]
+    in_specs.append(do_spec)
+    operands.append(g)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, hg,
-                          1.0 if q_scale is None else q_scale, whole),
+                          1.0 if q_scale is None else q_scale, whole,
+                          use_stats),
         out_shape=(jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
                    jax.ShapeDtypeStruct((B, N, C), jnp.float32),
                    jax.ShapeDtypeStruct((B, N, C), jnp.float32)),
         grid=grid,
-        in_specs=[cspec(0, block_q), cspec(1, N), cspec(2, N), bias_spec,
-                  do_spec],
+        in_specs=in_specs,
         out_specs=(do_spec if G > 1 else pl.BlockSpec(
             (1, block_q, C), lambda b, _g, i: (b, i, 0),
             memory_space=pltpu.VMEM), dkv_spec, dkv_spec),
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(qkv, qkv, qkv, bias, g)
+    )(*operands)
     return jnp.concatenate(
         [dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1)
 
 
 def _fap_fwd(qkv, key_bias, heads, block_q, rope_cos, rope_sin, q_scale,
              head_group):
+    # rope-free (the PTv3 training hot path): save the forward's LSE and
+    # output so the backward kernel skips the softmax row recomputes
+    if rope_cos is None and _lse_layout_ok(heads, head_group, block_q,
+                                           qkv.shape[1]):
+        out, lse = _packed_fwd_call(qkv, key_bias, heads, block_q,
+                                    None, None, q_scale, head_group,
+                                    with_lse=True)
+        return out, (qkv, key_bias, None, None, lse, out)
     return (flash_attention_packed(qkv, key_bias, heads, block_q,
                                    rope_cos, rope_sin, q_scale,
                                    head_group),
-            (qkv, key_bias, rope_cos, rope_sin))
+            (qkv, key_bias, rope_cos, rope_sin, None, None))
 
 
 def _fap_bwd(heads, block_q, q_scale, head_group, res, g):
@@ -580,10 +654,19 @@ def _fap_bwd(heads, block_q, q_scale, head_group, res, g):
     dL/dk = Rᵀ(dL/d[Rk]) — the grads are inverse-rotated before
     repacking. rope_cos/rope_sin get ZERO grads (documented constants).
     """
-    qkv, key_bias, rope_cos, rope_sin = res
+    qkv, key_bias, rope_cos, rope_sin, lse, out = res
     if rope_cos is None:
+        delta = None
+        if lse is not None:
+            B, N, C3 = qkv.shape
+            C = C3 // 3
+            D = C // heads
+            delta = jnp.transpose(jnp.sum(
+                (g.astype(jnp.float32) * out.astype(jnp.float32))
+                .reshape(B, N, heads, D), axis=-1), (0, 2, 1))
         dqkv = _packed_bwd_call(qkv, key_bias.astype(jnp.float32), g,
-                                heads, block_q, q_scale, head_group)
+                                heads, block_q, q_scale, head_group,
+                                lse=lse, delta=delta)
         return dqkv, jnp.zeros_like(key_bias), None, None
     B, N, C3 = qkv.shape
     C = C3 // 3

@@ -12,10 +12,10 @@ order) are masked on the key side with an additive bias and zeroed on the
 query side by the caller.
 
 Training: ``window_attention`` is a custom_vjp with a Pallas forward AND
-a Pallas backward (``_attn_bwd_kernel`` recomputes probs in VMEM and
-emits dq/dk/dv in one grid pass — measured 5.6x the XLA vjp, PERF.md
-"Kernel facts"). On non-TPU backends both directions fall back to the
-jnp reference implementation.
+a Pallas backward (``_attn_bwd_kernel`` rebuilds probs in VMEM from the
+forward's saved log-sum-exp and emits dq/dk/dv in one grid pass —
+measured 5.6x the XLA vjp, PERF.md "Kernel facts"). On non-TPU backends
+both directions fall back to the jnp reference implementation.
 """
 
 from __future__ import annotations
@@ -86,7 +86,34 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     o_ref[0, 0] = (o / jnp.maximum(denom, 1e-20)).astype(o_ref.dtype)
 
 
-def _window_attention_pallas(q, k, v, key_mask):
+def _attn_kernel_lse(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref):
+    """Forward that also emits the log-sum-exp per query row.
+
+    The training forward uses this variant so the backward can rebuild
+    probs as one ``exp(s − lse)`` instead of re-running the row max and
+    row sum — two full (K, K) VPU reduction passes saved per grid step,
+    for (W, H, K) f32 of extra HBM (hundreds of KB at PTv3 shapes).
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+    # (K, 1) trailing-1 layout: a (1, 1, K) block is illegal on real TPU
+    # for H > 1 arrays (last two block dims must divide (8, 128) or
+    # equal the array dims); (1, 1, K, 1) ends in (K, 1) — legal.
+    lse_ref[0, 0] = m + jnp.log(denom)
+
+
+def _window_attention_pallas(q, k, v, key_mask, with_lse=False):
     W, K, H, D = q.shape
     q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)  # fold softmax scale
     bias = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)[:, None, :]
@@ -98,9 +125,15 @@ def _window_attention_pallas(q, k, v, key_mask):
 
     qkv_spec = pl.BlockSpec((1, 1, K, D), lambda w, h: (w, h, 0, 0),
                             memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((W, H, K, D), q.dtype),
+    row_spec = pl.BlockSpec((1, 1, K, 1), lambda w, h: (w, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((W, H, K, D), q.dtype)
+    if with_lse:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((W, H, K, 1), jnp.float32))
+    res = pl.pallas_call(
+        _attn_kernel_lse if with_lse else _attn_kernel,
+        out_shape=out_shape,
         grid=(W, H),
         in_specs=[
             qkv_spec,
@@ -109,20 +142,29 @@ def _window_attention_pallas(q, k, v, key_mask):
             pl.BlockSpec((1, 1, K), lambda w, h: (w, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=qkv_spec,
+        out_specs=(qkv_spec, row_spec) if with_lse else qkv_spec,
         interpret=_interpret(),
     )(whkd(q), whkd(k), whkd(v), bias)
+    out, lse = res if with_lse else (res, None)
     out = jnp.transpose(out, (0, 2, 1, 3))
     # query-side zeroing (cheap VPU op; keeps the kernel mask-free on q)
-    return out * key_mask[:, :, None, None].astype(out.dtype)
+    out = out * key_mask[:, :, None, None].astype(out.dtype)
+    return (out, lse) if with_lse else out
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref):
-    """Backward: recompute probs in VMEM, emit dq (scaled), dk, dv.
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, delta_ref,
+                     do_ref, dq_ref, dk_ref, dv_ref):
+    """Backward: rebuild probs from the saved LSE, emit dq (scaled), dk, dv.
 
     q_ref holds the PRE-SCALED q; the wrapper multiplies dq by the
     softmax scale afterwards. do_ref is already query-side masked.
+    Two standard flash-backward identities keep the VPU work to ~3
+    (K, K)-scale passes (exp, the ds combine, one cast) instead of ~6:
+      * lse_ref carries the forward's per-query log-sum-exp, so probs
+        are one ``exp(s − lse)`` — no row max / row sum recompute;
+      * delta_ref carries rowsum(do·o) (computed OUTSIDE on (K, D)
+        arrays), which equals the softmax-vjp row term Σ_k p_k·dp_k —
+        no (K, K) ``dp·p`` product or row-sum in-kernel.
     """
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -132,9 +174,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     s = s + bias_ref[0, 0][None, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    p = jnp.exp(s - lse_ref[0, 0])          # lse block (K, 1) broadcasts
 
     pt = p.astype(v.dtype)
     dv = jax.lax.dot_general(  # pᵀ do → (K, D)
@@ -143,7 +183,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     dp = jax.lax.dot_general(  # do vᵀ → (K, K)
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = p * (dp - delta_ref[0, 0])
     dsl = ds.astype(q.dtype)
     dq = jnp.dot(dsl, k, preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(  # dsᵀ q → (K, D)
@@ -154,18 +194,24 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _window_attention_bwd_pallas(q, k, v, key_mask, g):
+def _window_attention_bwd_pallas(q, k, v, key_mask, lse, out, g):
     W, K, H, D = q.shape
     scale = 1.0 / (D ** 0.5)
     qs = q * jnp.asarray(scale, q.dtype)
     bias = jnp.where(key_mask, 0.0, _NEG).astype(jnp.float32)[:, None, :]
     g = g * key_mask[:, :, None, None].astype(g.dtype)
+    # softmax-vjp row term on (K, D) arrays: Σ_k p_k·dp_k = do·o
+    delta = jnp.transpose(
+        jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1),
+        (0, 2, 1))[..., None]                          # (W, H, K, 1) f32
 
     def whkd(x):
         return jnp.transpose(x, (0, 2, 1, 3))
 
     spec = pl.BlockSpec((1, 1, K, D), lambda w, h: (w, h, 0, 0),
                         memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, K, 1), lambda w, h: (w, h, 0, 0),
+                            memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((W, H, K, D), q.dtype)
     dq, dk, dv = pl.pallas_call(
         _attn_bwd_kernel,
@@ -174,10 +220,11 @@ def _window_attention_bwd_pallas(q, k, v, key_mask, g):
         in_specs=[spec, spec, spec,
                   pl.BlockSpec((1, 1, K), lambda w, h: (w, 0, 0),
                                memory_space=pltpu.VMEM),
+                  row_spec, row_spec,
                   spec],
         out_specs=(spec, spec, spec),
         interpret=_interpret(),
-    )(whkd(qs), whkd(k), whkd(v), bias, whkd(g))
+    )(whkd(qs), whkd(k), whkd(v), bias, lse, delta, whkd(g))
 
     def back(x):
         return jnp.transpose(x, (0, 2, 1, 3))
@@ -220,20 +267,20 @@ def _wap_fwd(qkv, key_mask, heads):
     C = C3 // 3
     D = C // heads
     q4 = qkv.reshape(W, K, 3, heads, D)
-    out = _window_attention_pallas(q4[:, :, 0], q4[:, :, 1], q4[:, :, 2],
-                                   key_mask)
-    return out.reshape(W, K, C), (qkv, key_mask)
+    out, lse = _window_attention_pallas(
+        q4[:, :, 0], q4[:, :, 1], q4[:, :, 2], key_mask, with_lse=True)
+    return out.reshape(W, K, C), (qkv, key_mask, lse, out)
 
 
 def _wap_bwd(heads, res, g):
-    qkv, key_mask = res
+    qkv, key_mask, lse, out = res
     W, K, C3 = qkv.shape
     C = C3 // 3
     D = C // heads
     q4 = qkv.reshape(W, K, 3, heads, D)
     dq, dk, dv = _window_attention_bwd_pallas(
-        q4[:, :, 0], q4[:, :, 1], q4[:, :, 2], key_mask, g.reshape(
-            W, K, heads, D))
+        q4[:, :, 0], q4[:, :, 1], q4[:, :, 2], key_mask, lse, out,
+        g.reshape(W, K, heads, D))
     dqkv = jnp.concatenate([dq.reshape(W, K, C), dk.reshape(W, K, C),
                             dv.reshape(W, K, C)], axis=-1)
     return dqkv, None
@@ -254,14 +301,19 @@ def window_attention(q, k, v, key_mask, use_pallas=True):
 
 
 def _wa_fwd(q, k, v, key_mask, use_pallas):
-    out = window_attention(q, k, v, key_mask, use_pallas)
-    return out, (q, k, v, key_mask)
+    if use_pallas:
+        out, lse = _window_attention_pallas(q, k, v, key_mask,
+                                            with_lse=True)
+    else:
+        out, lse = window_attention_reference(q, k, v, key_mask), None
+    return out, (q, k, v, key_mask, lse, out)
 
 
 def _wa_bwd(use_pallas, res, g):
-    q, k, v, key_mask = res
+    q, k, v, key_mask, lse, out = res
     if use_pallas:
-        dq, dk, dv = _window_attention_bwd_pallas(q, k, v, key_mask, g)
+        dq, dk, dv = _window_attention_bwd_pallas(q, k, v, key_mask,
+                                                  lse, out, g)
         return dq, dk, dv, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_: window_attention_reference(q_, k_, v_, key_mask),

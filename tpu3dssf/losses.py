@@ -67,9 +67,9 @@ def lovasz_softmax(probs, labels0, valid):
     # The ONLY gradient path is probs → errors → loss: fg and valid are
     # label constants, and the sort order is piecewise-constant in
     # probs (identical-a.e. semantics to differentiating lax.sort). So:
-    #  * ONE batched 4-operand value-sort (descending by the DETACHED
-    #    error) carries fg/valid/iota along — no take_along_axis
-    #    anywhere. Reordering fg/valid by lane-axis gathers instead
+    #  * ONE batched 2-operand value-sort (descending by the DETACHED
+    #    error) carries iota-with-fg-packed-in-bit-0 along — no
+    #    take_along_axis anywhere. Reordering fg by lane-axis gathers
     #    (round-4a) cost 41.7 ms fwd at train shapes: gathers addressed
     #    along the LANE axis run ~100x slow on TPU (CLAUDE.md trap 7);
     #  * the Lovász gradient `grad` is computed in sorted order from
@@ -91,10 +91,18 @@ def lovasz_softmax(probs, labels0, valid):
     # error ≥ itself > 0, i.e. only by valid entries — so the valid-
     # prefix count at any contributing position is just position+1.
     # That drops the sort to 3 operands and three cumsums to one.
-    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (C, N))
-    _, perm, fg_s = jax.vmap(
-        lambda k, i, f: jax.lax.sort((k, i, f), num_keys=1)
-    )(-jax.lax.stop_gradient(errors), iota, fgf)
+    # fg is ONE BIT, so it rides inside the iota operand (iota*2+fg):
+    # the batched sort carries 2 operands, not 3 (sort cost scales with
+    # operand count — measured in scripts/time_loss_parts.py). Packing
+    # preserves stability: packed is strictly increasing in position, so
+    # equal-key ties keep the same order the separate iota gave.
+    packed = (jnp.arange(N, dtype=jnp.int32) * 2)[None, :] + \
+        fg.astype(jnp.int32)
+    _, packed_s = jax.vmap(
+        lambda k, i: jax.lax.sort((k, i), num_keys=1)
+    )(-jax.lax.stop_gradient(errors), packed)
+    perm = packed_s >> 1
+    fg_s = (packed_s & 1).astype(jnp.float32)
 
     gts = jnp.sum(fg_s, axis=1, keepdims=True)         # (C, 1)
     cfg = jnp.cumsum(fg_s, axis=1)
