@@ -9,6 +9,9 @@ AdamW) for the LiDAR-only model (PTv3) and the fusion head, device-side.
         # batch 12, config/nuscenesTestConfig22.yaml:52) — fusion step
         # per batch size, per-point throughput + peak HBM; TRAIN_REMAT=1
         # adds per-block remat
+    TRAIN_BATCHES=12 TRAIN_ACCUM=6 python scripts/bench_train.py
+        # same optimizer step via 6 sequential B=2 microbatches
+        # (lax.scan gradient accumulation, train/loop.py grad_accum)
 """
 
 import os
@@ -68,15 +71,41 @@ def batch_scaling(batches):
                 batch["lidar2cam"])
             state = create_train_state(model, params, optax.adamw(1e-3))
 
-            def step(points, toks, state=state, batch=batch):
-                def loss(p):
-                    logits = state.apply_fn(
-                        p, points, batch["point_valid"], toks,
-                        batch["cam_intrinsics"], batch["lidar2cam"])
-                    return loss_fn(logits, batch["labels"],
-                                   batch["mask"]).total
+            accum = int(os.environ.get("TRAIN_ACCUM", "1"))
 
-                l, grads = jax.value_and_grad(loss)(state.params)
+            def step(points, toks, state=state, batch=batch,
+                     accum=accum):
+                def loss(p, b, pts, t):
+                    logits = state.apply_fn(
+                        p, pts, b["point_valid"], t,
+                        b["cam_intrinsics"], b["lidar2cam"])
+                    return loss_fn(logits, b["labels"], b["mask"]).total
+
+                if accum == 1:
+                    l, grads = jax.value_and_grad(loss)(
+                        state.params, batch, points, toks)
+                else:
+                    def split(x):
+                        return x.reshape(
+                            (accum, x.shape[0] // accum) + x.shape[1:])
+
+                    xs = (jax.tree.map(split, batch), split(points),
+                          split(toks))
+
+                    def micro(carry, mx):
+                        g_acc, l_acc = carry
+                        b, pts, t = mx
+                        l, g = jax.value_and_grad(loss)(
+                            state.params, b, pts, t)
+                        return (jax.tree.map(jnp.add, g_acc, g),
+                                l_acc + l), None
+
+                    (g_acc, l_sum), _ = jax.lax.scan(
+                        micro,
+                        (jax.tree.map(jnp.zeros_like, state.params),
+                         jnp.float32(0)), xs)
+                    grads = jax.tree.map(lambda g: g / accum, g_acc)
+                    l = l_sum / accum
                 new_state = state.apply_gradients(grads=grads)
                 return (l, new_state.params)  # all leaves live (no DCE)
 
@@ -88,7 +117,9 @@ def batch_scaling(batches):
             if hbm == 0.0 and os.environ.get("TRAIN_MEM") == "1":
                 hbm = program_peak_mb(step, batch["points"], tokens)
             print(f"fusion train B={B:2d} ({P} pts/sample"
-                  f"{', remat' if remat else ''}): {dt*1e3:7.1f} ms "
+                  f"{', remat' if remat else ''}"
+                  f"{f', accum={accum}' if accum > 1 else ''}):"
+                  f" {dt*1e3:7.1f} ms "
                   f"({B*P/dt:,.0f} points/s, "
                   f"{B*P/dt/B:,.0f} pts/s/sample-slot) "
                   f"peak_hbm={hbm:,.0f} MiB "

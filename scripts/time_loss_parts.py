@@ -80,6 +80,11 @@ def main():
     tb("unsort scatter (C,N)",
        jax.vmap(lambda g, p: jnp.zeros_like(g).at[p].set(g)), grad, perm)
 
+    # the shipped unsort: second 2-operand key-sort by perm
+    tb("unsort key-sort (C,N) 2-operand",
+       jax.vmap(lambda g, p: jax.lax.sort((p, g), num_keys=1)[1]),
+       grad, perm)
+
     # lane-axis gather for contrast (the round-4a formulation's cost)
     tb("take_along_axis (C,N) LANE-axis gather",
        lambda f, p: jnp.take_along_axis(f, p, axis=1), fgf, perm,

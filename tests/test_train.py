@@ -176,6 +176,63 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0]
 
 
+def test_grad_accum_matches_mean_of_microbatch_grads(rng):
+    """grad_accum=2 over B=4 must produce EXACTLY the update that
+    averaging the two B=2 microbatch gradients produces (the DDP
+    contract the docstring promises), and its metrics must be the
+    mean loss / summed counts of the microbatches."""
+    model = _tiny_model()
+    batch = _batch(rng, B=4)
+    state = _make_state(model, batch)
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+
+    step = make_train_step(loss_fn, grad_accum=2)
+    state_a, m = step(state, batch, _tokens(4))
+
+    # manual: per-microbatch value_and_grad, averaged, applied once
+    state_b = _make_state(model, batch)
+
+    def loss_of(params, b, t):
+        logits = state_b.apply_fn(
+            params, b["points"], b["point_valid"], t,
+            b["cam_intrinsics"], b["lidar2cam"])
+        out = loss_fn(logits, b["labels"], b["mask"])
+        return out.total, out
+
+    halves = [jax.tree.map(lambda x, i=i: x[2 * i:2 * i + 2], batch)
+              for i in range(2)]
+    outs, grads = [], []
+    for h in halves:
+        (_, out), g = jax.jit(jax.value_and_grad(
+            loss_of, has_aux=True))(state_b.params, h, _tokens(2))
+        outs.append(out)
+        grads.append(g)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    state_b = state_b.apply_gradients(grads=g_mean)
+
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        (float(outs[0].total) + float(outs[1].total)) / 2, rtol=1e-6)
+    assert int(m["correct"]) == int(outs[0].num_correct) + int(
+        outs[1].num_correct)
+    assert int(m["valid"]) == int(outs[0].num_valid) + int(
+        outs[1].num_valid)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch(rng):
+    model = _tiny_model()
+    batch = _batch(rng, B=3)
+    state = _make_state(model, batch)
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    step = make_train_step(loss_fn, grad_accum=2)
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, batch, _tokens(3))
+
+
 def test_train_step_with_drop_path(rng):
     import dataclasses
     base = _tiny_model()

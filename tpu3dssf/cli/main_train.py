@@ -112,6 +112,7 @@ def main(argv=None):
         start_epoch=start_epoch,
         best_acc=best_acc,
         dropout_rng=dropout_rng,
+        grad_accum=cfg.tpu.grad_accum,
     )
     logger.finish()
     plot_training_history(tr_hist, val_hist, cfg.checkpoint_path)

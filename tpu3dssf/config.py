@@ -66,6 +66,15 @@ class TPUParams:
     # dinov3_large on a TPU backend.
     vit_looped: str = "auto"           # "auto" | "on" | "off"
     compute_dtype: str = "bfloat16"    # model compute dtype
+    # split each optimizer step's batch into this many sequential
+    # microbatches (lax.scan) and average their gradients — the exact
+    # update a data-parallel mesh of this size would produce, at 1/Nth
+    # the activation memory. The reference trains batch 12
+    # (config/nuscenesTestConfig22.yaml:52); on one chip grad_accum=6
+    # over B=2 microbatches beats the direct B=12 step (PERF.md
+    # "Training batch scaling") because per-point throughput drifts
+    # down with working-set size. batch_size % grad_accum must be 0.
+    grad_accum: int = 1
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel mesh
     dataset: str = "nuscenes"          # "nuscenes" | "synthetic"
     # synthetic-dataset shape knobs (dataset == "synthetic" only)
@@ -161,6 +170,7 @@ def load_config(path_or_dict) -> Config:
         scan_blocks=bool(tp.get("scan_blocks", False)),
         vit_looped=str(tp.get("vit_looped", "auto")),
         compute_dtype=tp.get("compute_dtype", "bfloat16"),
+        grad_accum=int(tp.get("grad_accum", 1)),
         mesh_shape=mesh_shape,
         dataset=tp.get("dataset", "nuscenes"),
         synthetic_samples=int(tp.get("synthetic_samples", 0)),
@@ -171,6 +181,8 @@ def load_config(path_or_dict) -> Config:
     if tpu.voxel_capacity % tpu.window_size != 0:
         raise ValueError(
             "tpu_params.voxel_capacity must be a multiple of window_size")
+    if tpu.grad_accum < 1:
+        raise ValueError("tpu_params.grad_accum must be >= 1")
     if tpu.vit_looped not in ("auto", "on", "off"):
         raise ValueError(
             f"tpu_params.vit_looped must be auto|on|off, got "

@@ -73,9 +73,9 @@ def lovasz_softmax(probs, labels0, valid):
     #    (round-4a) cost 41.7 ms fwd at train shapes: gathers addressed
     #    along the LANE axis run ~100x slow on TPU (CLAUDE.md trap 7);
     #  * the Lovász gradient `grad` is computed in sorted order from
-    #    those constants, then UNSORTED with one scatter, making the
-    #    loss a plain dot:  Σ_i errors[perm[i]]·grad[i]
-    #                     = Σ_j errors[j]·grad_u[j].
+    #    those constants, then UNSORTED with a second key-sort (below),
+    #    making the loss a plain dot:  Σ_i errors[perm[i]]·grad[i]
+    #                                = Σ_j errors[j]·grad_u[j].
     #    Its backward is ELEMENTWISE in errors — no gather, no scatter,
     #    no sort transpose (differentiating the value-sort instead made
     #    XLA emit a 5.3 ms (C, N) scatter-add per step, PERF.md r3).
@@ -101,7 +101,6 @@ def lovasz_softmax(probs, labels0, valid):
     _, packed_s = jax.vmap(
         lambda k, i: jax.lax.sort((k, i), num_keys=1)
     )(-jax.lax.stop_gradient(errors), packed)
-    perm = packed_s >> 1
     fg_s = (packed_s & 1).astype(jnp.float32)
 
     gts = jnp.sum(fg_s, axis=1, keepdims=True)         # (C, 1)
@@ -113,8 +112,14 @@ def lovasz_softmax(probs, labels0, valid):
     # lovasz gradient: first element as-is, then differences
     grad = jnp.concatenate(
         [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1)
+    # Unsort = apply perm⁻¹. Sorting (packed_s, grad) ascending by key
+    # puts grad[i] at original position perm[i] (packed_s orders exactly
+    # like perm: bit 0 never flips an order between distinct iotas) —
+    # the same batched 2-operand sort the forward already uses, 1.7 ms
+    # where the (C, N) lane-axis scatter cost 5.2 ms
+    # (scripts/time_loss_parts.py on chip).
     grad_u = jax.lax.stop_gradient(jax.vmap(
-        lambda g, p: jnp.zeros_like(g).at[p].set(g))(grad, perm))
+        lambda k, g: jax.lax.sort((k, g), num_keys=1)[1])(packed_s, grad))
     losses = jnp.sum(errors * grad_u, axis=1)          # (C,)
     presentf = (gts[:, 0] > 0).astype(jnp.float32)
     return jnp.sum(losses * presentf) / jnp.maximum(jnp.sum(presentf), 1.0)

@@ -74,42 +74,107 @@ def make_image_encode_fn(vit_model, vit_params, encoder_hw,
     return encode
 
 
-def make_train_step(loss_fn: CELSLoss, dropout_rng=None):
+def make_train_step(loss_fn: CELSLoss, dropout_rng=None,
+                    grad_accum: int = 1):
     """``dropout_rng``: base PRNGKey enabling stochastic-depth/drop-path
-    (folded with the step counter per batch); None → deterministic."""
+    (folded with the step counter per batch); None → deterministic.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, patch_tokens):
-        def compute_loss(params):
+    ``grad_accum > 1`` splits the batch's leading dim into that many
+    sequential microbatches under ``lax.scan`` and averages their
+    gradients before the single optimizer update — the same update a
+    ``grad_accum``-way data-parallel mesh computes (mean of per-shard
+    gradients), at one microbatch's activation memory. The logged loss
+    is the mean of microbatch losses; per-microbatch weighted-CE
+    denominators and Lovász class presence make it differ from the
+    whole-batch loss exactly as per-device DDP losses do.
+    """
+
+    def make_loss(state):
+        def compute_loss(params, batch, patch_tokens, micro_idx):
             kwargs = {}
             if dropout_rng is not None:
                 kwargs = dict(
                     deterministic=False,
                     rngs={"dropout": jax.random.fold_in(
-                        dropout_rng, state.step)})
+                        dropout_rng, state.step * grad_accum + micro_idx)})
             logits = state.apply_fn(
                 params, batch["points"], batch["point_valid"],
                 patch_tokens, batch["cam_intrinsics"], batch["lidar2cam"],
                 **kwargs)
             out = loss_fn(logits, batch["labels"], batch["mask"])
             return out.total, out
+        return compute_loss
 
-        (_, out), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+    def apply_update(state, grads, value):
         # value= feeds ReduceLROnPlateau (ignored by other schedulers);
         # plain flax TrainStates (no value kwarg) still work
         try:
-            state = state.apply_gradients(grads=grads, value=out.total)
+            return state.apply_gradients(grads=grads, value=value)
         except TypeError:
-            state = state.apply_gradients(grads=grads)
+            return state.apply_gradients(grads=grads)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, patch_tokens):
+        compute_loss = make_loss(state)
+
+        if grad_accum == 1:
+            (_, out), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(
+                state.params, batch, patch_tokens, 0)
+            metrics = {
+                "loss": out.total,
+                "ce": out.ce,
+                "lovasz": out.lovasz,
+                "correct": out.num_correct,
+                "valid": out.num_valid,
+            }
+            return apply_update(state, grads, out.total), metrics
+
+        def split(x):
+            if x.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch dim {x.shape[0]} not divisible by "
+                    f"grad_accum={grad_accum}")
+            return x.reshape((grad_accum, x.shape[0] // grad_accum)
+                             + x.shape[1:])
+
+        mb = jax.tree.map(split, batch)
+        mt = (None if patch_tokens is None
+              else jax.tree.map(split, patch_tokens))
+
+        def micro(carry, xs):
+            g_acc, sums, i = carry
+            b, t = xs
+            (_, out), g = jax.value_and_grad(
+                compute_loss, has_aux=True)(state.params, b, t, i)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            sums = {
+                "loss": sums["loss"] + out.total,
+                "ce": sums["ce"] + out.ce,
+                "lovasz": sums["lovasz"] + out.lovasz,
+                "correct": sums["correct"] + out.num_correct,
+                "valid": sums["valid"] + out.num_valid,
+            }
+            return (g_acc, sums, i + 1), None
+
+        init = (
+            jax.tree.map(jnp.zeros_like, state.params),
+            {"loss": jnp.float32(0), "ce": jnp.float32(0),
+             "lovasz": jnp.float32(0), "correct": jnp.int32(0),
+             "valid": jnp.int32(0)},
+            jnp.int32(0),
+        )
+        (g_acc, sums, _), _ = jax.lax.scan(micro, init, (mb, mt))
+        inv = 1.0 / grad_accum
+        grads = jax.tree.map(lambda g: g * inv, g_acc)
         metrics = {
-            "loss": out.total,
-            "ce": out.ce,
-            "lovasz": out.lovasz,
-            "correct": out.num_correct,
-            "valid": out.num_valid,
+            "loss": sums["loss"] * inv,
+            "ce": sums["ce"] * inv,
+            "lovasz": sums["lovasz"] * inv,
+            "correct": sums["correct"],
+            "valid": sums["valid"],
         }
-        return state, metrics
+        return apply_update(state, grads, metrics["loss"]), metrics
 
     return train_step
 
@@ -237,7 +302,8 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
                 profile_steps: tuple = (10, 13),
                 start_epoch: int = 0,
                 best_acc: float = -1.0,
-                dropout_rng=None):
+                dropout_rng=None,
+                grad_accum: int = 1):
     """Epoch loop with best-val-acc Orbax checkpointing.
 
     Mirrors reference train_model's contract (utils/train.py:13):
@@ -246,7 +312,7 @@ def train_model(state, dataloaders: Dict, loss_fn: CELSLoss,
     under ``save_dir``.
     """
     logger = logger or NullLogger()
-    train_step = make_train_step(loss_fn, dropout_rng)
+    train_step = make_train_step(loss_fn, dropout_rng, grad_accum)
     eval_step = make_eval_step(loss_fn, num_classes)
 
     tr_hist, val_hist = [], []
