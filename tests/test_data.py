@@ -130,7 +130,12 @@ def test_native_loader_truncates(tmp_path, rng):
 
 # ---------- fabricated nuScenes table tree ----------
 
-def _make_fake_nuscenes(root, n_scenes=2, samples_per_scene=2):
+def _make_fake_nuscenes(root, n_scenes=2, samples_per_scene=2,
+                        n_points=50, with_images=False,
+                        image_hw=(90, 160)):
+    """Devkit-format mini tree: table JSONs + lidar/lidarseg .bin files
+    (+ optional camera JPEGs) — the on-disk layout the reference devkit
+    indexes (utils/dataloader.py:50,63-81)."""
     version = "v1.0-mini"
     tdir = os.path.join(root, version)
     os.makedirs(os.path.join(root, "sweeps"), exist_ok=True)
@@ -154,12 +159,13 @@ def _make_fake_nuscenes(root, n_scenes=2, samples_per_scene=2):
             lidar_file = f"samples/LIDAR_TOP/{lt}.bin"
             os.makedirs(os.path.join(root, "samples", "LIDAR_TOP"),
                         exist_ok=True)
-            pts = rng.normal(size=(50, 5)).astype(np.float32)
+            pts = rng.normal(size=(n_points, 5)).astype(np.float32)
+            pts[:, :3] *= 20.0  # street-scale extents
             pts.tofile(os.path.join(root, lidar_file))
             lab_file = f"lidarseg/{version}/{lt}.bin"
             os.makedirs(os.path.join(root, "lidarseg", version),
                         exist_ok=True)
-            rng.integers(0, 32, 50, dtype=np.uint8).tofile(
+            rng.integers(0, 32, n_points, dtype=np.uint8).tofile(
                 os.path.join(root, lab_file))
             sample_data.append({
                 "token": lt, "sample_token": sample_tok,
@@ -168,15 +174,25 @@ def _make_fake_nuscenes(root, n_scenes=2, samples_per_scene=2):
                 "ego_pose_token": "ego0"})
             lidarsegs.append({"token": lt, "filename": lab_file})
             data["LIDAR_TOP"] = lt
-            # cameras (no image files — load_images=False in tests)
+            # cameras (image files only when with_images — most tests
+            # run load_images=False)
             for c in cams:
                 ct = f"{c}_{si}_{j}"
+                img_file = f"samples/{c}/{ct}.jpg"
                 sample_data.append({
                     "token": ct, "sample_token": sample_tok,
-                    "filename": f"samples/{c}/{ct}.jpg",
+                    "filename": img_file,
                     "calibrated_sensor_token": f"cs_{c}",
                     "ego_pose_token": "ego0"})
                 data[c] = ct
+                if with_images:
+                    from PIL import Image
+                    os.makedirs(os.path.join(root, "samples", c),
+                                exist_ok=True)
+                    arr = rng.integers(0, 255, image_hw + (3,),
+                                       dtype=np.uint8)
+                    Image.fromarray(arr).save(
+                        os.path.join(root, img_file), quality=70)
             samples.append({"token": sample_tok, "scene_token": stok,
                             "timestamp": j, "data": data})
 
