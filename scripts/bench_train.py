@@ -41,7 +41,9 @@ def batch_scaling(batches):
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     P, V, W = 34816, 25600, 1024
-    remat = os.environ.get("TRAIN_REMAT") == "1"
+    remat_env = os.environ.get("TRAIN_REMAT", "")
+    remat = remat_env == "1"           # full-block remat
+    remat_attn = remat_env == "attn"   # attention-branch-only remat
     loss_fn = CELSLoss(weight=np.ones(16, np.float32))
     rng = np.random.default_rng(0)
 
@@ -61,7 +63,8 @@ def batch_scaling(batches):
         cfg = PipelineConfig(
             fusion=FusionConfig(patch_tok_dim=384, dtype=dtype),
             ptv3=PTv3Config(enc_window=(W,) * 5, dec_window=(W,) * 4,
-                            use_pallas=on_tpu, remat=remat, dtype=dtype),
+                            use_pallas=on_tpu, remat=remat,
+                            remat_attention=remat_attn, dtype=dtype),
             voxel_size=0.1, voxel_capacity=V)
         model = SegmentationPipeline(cfg)
         try:

@@ -168,26 +168,9 @@ def run(config_path, checkpoint, frames, batch_size):
             "acc_full": (fm, fci), "per_class": per_class}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config",
-                    default="configs/synthetic_convergence_lidar.yaml")
-    ap.add_argument("--checkpoint", default=None,
-                    help="Orbax checkpoint dir with trained params")
-    ap.add_argument("--frames", type=int, default=64)
-    ap.add_argument("--batch-size", type=int, default=2)
-    ap.add_argument("--out", default="PARITY_AB.md")
-    args = ap.parse_args()
-
-    r = run(args.config, args.checkpoint, args.frames, args.batch_size)
+def section(label, r):
     lines = [
-        "# Strict-parity A/B — reference-parity modes vs fast defaults",
-        "",
-        "Same params, full pipeline (voxelize → PTv3 → head → "
-        "devoxelize). Reference point: `full-parity` = "
-        "`intensity_mode=knn5` (sklearn 5-NN semantics, "
-        "utils/lidar.py:97-105) + `devoxelize_mode=nearest` "
-        "(cdist-argmin semantics, utils/lidar.py:147-155).",
+        f"## {label}",
         "",
         f"- params: {'TRAINED' if r['trained'] else 'random init'}; "
         f"N = {r['frames']} frames (batch size {r['batch_size']}), "
@@ -220,10 +203,68 @@ def main():
             f"| {pc['cls']} | {pc['ref_n']} | {pc['agree_default']:.4f} "
             f"| {pc['agree_devox']:.4f} | {pc['acc_default']:.4f} | "
             f"{pc['acc_full']:.4f} |")
-    lines += [
+    return lines
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config",
+                    default="configs/synthetic_convergence_lidar.yaml")
+    ap.add_argument("--checkpoint", action="append", default=None,
+                    help="Orbax checkpoint dir with trained params; "
+                         "repeatable as LABEL=PATH to compare "
+                         "checkpoints trained under different modes")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--out", default="PARITY_AB.md")
+    args = ap.parse_args()
+
+    ckpts = []  # (label, path)
+    for c in (args.checkpoint or [None]):
+        if c and "=" in c:
+            ckpts.append(tuple(c.split("=", 1)))
+        else:
+            ckpts.append(("trained" if c else "random init", c))
+
+    results = [(lbl, run(args.config, path, args.frames,
+                         args.batch_size))
+               for lbl, path in ckpts]
+
+    lines = [
+        "# Strict-parity A/B — reference-parity modes vs fast defaults",
         "",
+        "Same params, full pipeline (voxelize → PTv3 → head → "
+        "devoxelize). Reference point: `full-parity` = "
+        "`intensity_mode=knn5` (sklearn 5-NN semantics, "
+        "utils/lidar.py:97-105) + `devoxelize_mode=nearest` "
+        "(cdist-argmin semantics, utils/lidar.py:147-155).",
+        "",
+    ]
+    if len(results) > 1:
+        # train-mode x eval-mode accuracy matrix: the headline datum —
+        # each checkpoint evaluated under every variant's modes
+        lines += [
+            "## Train-mode × eval-mode point accuracy",
+            "",
+            "| checkpoint \\ eval modes | default (mean+own) | "
+            "devox-parity (mean+nearest) | full-parity (knn5+nearest) |",
+            "|---|---|---|---|",
+        ]
+        for lbl, r in results:
+            by = {row["variant"]: row for row in r["rows"]}
+            fm, fci = r["acc_full"]
+            lines.append(
+                f"| {lbl} | {by['default']['acc_mean']:.4f} ± "
+                f"{by['default']['acc_ci']:.4f} | "
+                f"{by['devox-parity']['acc_mean']:.4f} ± "
+                f"{by['devox-parity']['acc_ci']:.4f} | "
+                f"{fm:.4f} ± {fci:.4f} |")
+        lines.append("")
+    for lbl, r in results:
+        lines += section(lbl, r) + [""]
+    lines += [
         "Per-component parity of the knn5/nearest modes themselves is "
-        "oracle-tested in tests/test_voxel.py; the table above bounds "
+        "oracle-tested in tests/test_voxel.py; the tables above bound "
         "the end-to-end effect of running the fast defaults instead.",
     ]
     with open(args.out, "w") as f:

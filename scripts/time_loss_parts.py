@@ -90,6 +90,74 @@ def main():
        lambda f, p: jnp.take_along_axis(f, p, axis=1), fgf, perm,
        iters=10)
 
+    # ---- round-5 floor hunt (VERDICT r4 task 4) ----------------------
+    # The fwd cost is two batched 2-operand sorts over (C, N). Levers:
+    #  (a) ONE-OPERAND first sort: quantize the key to 13 bits and pack
+    #      it ABOVE the 18-bit (iota*2+fg) payload in a single int32 —
+    #      sort bandwidth scales with operand count, and the Jaccard
+    #      gradient is piecewise-constant in RANK, so a 1/8191
+    #      key-quantized ORDER only permutes near-ties (loss dot still
+    #      uses exact errors);
+    #  (b) bf16 key for the 2-operand sort (width, not count);
+    #  (c) class-budget: absent classes are zeroed by presentf anyway —
+    #      sort only the K most-present rows ((K, N) vs (C, N)).
+    packed1 = (jnp.arange(N, dtype=jnp.int32) * 2)[None, :] + \
+        fgf.astype(jnp.int32)
+
+    def sort1_packed(e):
+        q = (8191.0 - jnp.round(jax.lax.stop_gradient(e) * 8191.0)) \
+            .astype(jnp.int32)
+        v = (q << 18) | packed1
+        return jax.vmap(lambda x: jax.lax.sort((x,), num_keys=1)[0])(v)
+
+    tb("batched sort, 1 operand (13b key|18b pl)", sort1_packed, errors)
+
+    def sort2_bf16(e):
+        return jax.vmap(lambda k, i: jax.lax.sort((k, i), num_keys=1))(
+            (-e).astype(jnp.bfloat16), packed1)
+
+    tb("batched sort, 2 operands (bf16 key)", sort2_bf16, errors)
+
+    for K in (8, 16):
+        ek = errors[:K]
+        pk = packed1[:K]
+        tb(f"batched sort, 2 ops at (K={K:2d}, N)",
+           lambda e, p=pk: jax.vmap(
+               lambda k, i: jax.lax.sort((k, i), num_keys=1))(-e, p), ek)
+
+    def lovasz_q(pr):  # full forward with the 1-operand first sort
+        prf = pr.astype(jnp.float32)
+        fgq = jnp.where(valid[None, :],
+                        (labels0[None, :] == jnp.arange(C)[:, None]),
+                        False)
+        err = jnp.where(valid[None, :],
+                        jnp.abs(fgq.astype(jnp.float32) - prf.T), 0.0)
+        pk = (jnp.arange(N, dtype=jnp.int32) * 2)[None, :] + \
+            fgq.astype(jnp.int32)
+        q = (8191.0 -
+             jnp.round(jax.lax.stop_gradient(err) * 8191.0)).astype(
+            jnp.int32)
+        vs = jax.vmap(lambda x: jax.lax.sort((x,), num_keys=1)[0])(
+            (q << 18) | pk)
+        fg_sq = (vs & 1).astype(jnp.float32)
+        gts = jnp.sum(fg_sq, axis=1, keepdims=True)
+        cfgs = jnp.cumsum(fg_sq, axis=1)
+        un = gts + (jnp.arange(1, N + 1, dtype=jnp.float32)[None, :]
+                    - cfgs)
+        jac = 1.0 - (gts - cfgs) / jnp.maximum(un, 1e-12)
+        g = jnp.concatenate([jac[:, :1], jac[:, 1:] - jac[:, :-1]], 1)
+        g_u = jax.lax.stop_gradient(jax.vmap(
+            lambda k, x: jax.lax.sort((k, x), num_keys=1)[1])(
+            vs & 0x3FFFF, g))
+        ls = jnp.sum(err * g_u, axis=1)
+        pres = (gts[:, 0] > 0).astype(jnp.float32)
+        return jnp.sum(ls * pres) / jnp.maximum(jnp.sum(pres), 1.0)
+
+    tb("lovasz fwd, quantized 1-op first sort", lovasz_q, probs)
+    base = lovasz_softmax(probs, labels0, valid)
+    print(f"{'  |q - baseline|':44s} "
+          f"{abs(float(lovasz_q(probs)) - float(base)):10.2e}")
+
     # full pieces
     tb("lovasz_softmax fwd", lovasz_softmax, probs, labels0, valid)
     tb("lovasz fwd+bwd",

@@ -213,6 +213,32 @@ def test_remat_matches_plain_and_backprops(rng):
                for l in jax.tree.leaves(g))
 
 
+def test_remat_attention_matches_plain(rng):
+    """Selective attention-branch remat: same params, same forward,
+    same gradients as the plain model (it only changes what the
+    backward recomputes)."""
+    feat, grid, mask = _inputs(rng, B=1)
+    cfg_p = tiny_config()
+    cfg_r = tiny_config(remat_attention=True)
+    model_p = PointTransformerV3(cfg_p)
+    model_r = PointTransformerV3(cfg_r)
+    params = model_p.init(jax.random.PRNGKey(0), feat, grid, mask)
+    out_p, _ = model_p.apply(params, feat, grid, mask)
+    out_r, _ = model_r.apply(params, feat, grid, mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               atol=1e-6)
+
+    def loss(m, p):
+        o, _ = m.apply(p, feat, grid, mask)
+        return jnp.sum(o ** 2)
+
+    g_p = jax.grad(lambda p: loss(model_p, p))(params)
+    g_r = jax.grad(lambda p: loss(model_r, p))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 def test_capacity_schedule():
     cfg = PTv3Config()
     caps = cfg.capacities(32768)

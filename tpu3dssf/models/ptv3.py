@@ -91,6 +91,12 @@ class PTv3Config:
     scan_blocks: bool = False
     use_pallas: bool = True
     remat: bool = False  # jax.checkpoint each block (activation memory ↓)
+    # Selective remat: recompute only the attention branch (qkv dense →
+    # windowed attention → proj) in the backward. Full-block remat costs
+    # ~23% step time (PERF.md); the attention branch holds the largest
+    # per-block activations (the (B, N, 3C) qkv and the kernel's saved
+    # stats) at a fraction of the recompute FLOPs.
+    remat_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -426,6 +432,7 @@ class PTv3Block(nn.Module):
     mlp_ratio: float
     drop_path: float = 0.0
     use_pallas: bool = True
+    remat_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -434,7 +441,9 @@ class PTv3Block(nn.Module):
             x, None, None, mask)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = SerializedAttention(
+        Attn = (nn.remat(SerializedAttention)
+                if self.remat_attention else SerializedAttention)
+        h = Attn(
             self.channels, self.heads, self.window,
             use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
         )(h, perm, inv, mask)
@@ -577,6 +586,7 @@ class PointTransformerV3(nn.Module):
             mk = lambda nm: Block(  # noqa: E731
                 channels, heads, window, cfg.mlp_ratio,
                 drop_path=cfg.drop_path, use_pallas=cfg.use_pallas,
+                remat_attention=cfg.remat_attention,
                 dtype=cfg.dtype, name=nm)
             if not (cfg.scan_blocks and depth > 1):
                 for b in range(depth):
