@@ -87,6 +87,30 @@ def test_lovasz_masked_equals_compacted(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_lovasz_quantized_sort_matches_exact(rng):
+    # default path packs a 13-bit quantized key + payload into ONE
+    # int32 sort operand; exact_sort=True keeps the f32-keyed 2-operand
+    # sort. Only the rank order of near-tied errors can differ — value
+    # and gradient must agree to quantization noise.
+    N, C = 400, 16
+    probs = _softmax(rng.normal(size=(N, C))).astype(np.float32)
+    labels = rng.integers(0, C, size=N)
+    valid = rng.random(N) > 0.3
+    a = jnp.asarray(probs)
+    l_q = float(lovasz_softmax(a, jnp.asarray(labels),
+                               jnp.asarray(valid)))
+    l_e = float(lovasz_softmax(a, jnp.asarray(labels),
+                               jnp.asarray(valid), exact_sort=True))
+    np.testing.assert_allclose(l_q, l_e, atol=5e-5)
+    g_q = jax.grad(lambda p: lovasz_softmax(
+        p, jnp.asarray(labels), jnp.asarray(valid)))(a)
+    g_e = jax.grad(lambda p: lovasz_softmax(
+        p, jnp.asarray(labels), jnp.asarray(valid),
+        exact_sort=True))(a)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_e),
+                               atol=5e-4)
+
+
 def test_lovasz_perfect_prediction_is_zero(rng):
     N, C = 64, 4
     labels = rng.integers(0, C, size=N)

@@ -53,12 +53,22 @@ def weighted_cross_entropy(logits, labels0, valid, class_weights=None):
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
-def lovasz_softmax(probs, labels0, valid):
+def lovasz_softmax(probs, labels0, valid, exact_sort: bool = False):
     """Masked Lovász-Softmax over flattened points, mean over present classes.
 
     probs: (N, C) softmax probabilities; labels0: (N,) in [0, C-1];
     valid: (N,) bool. Invalid entries get error 0 / fg 0 and sort last, so
     they contribute nothing to any class's Jaccard extension.
+
+    exact_sort=False (default) quantizes the sort KEY to 13 bits and
+    packs it above the 18-bit (iota*2+fg) payload, so the first batched
+    sort carries ONE int32 operand instead of two (sort cost scales
+    with operand count — scripts/time_loss_parts.py). Only the ORDER is
+    quantized — the loss dot uses exact errors, and the Jaccard
+    gradient is piecewise-constant in rank, so the perturbation is
+    bounded by reorderings among errors within 1/8191 of each other
+    (measured |Δloss| ≲ 1e-7 at train shapes). exact_sort=True keeps
+    the f32-keyed 2-operand sort (bit-exact reference rank order).
     """
     probs = probs.astype(jnp.float32)
     N, C = probs.shape
@@ -98,9 +108,21 @@ def lovasz_softmax(probs, labels0, valid):
     # equal-key ties keep the same order the separate iota gave.
     packed = (jnp.arange(N, dtype=jnp.int32) * 2)[None, :] + \
         fg.astype(jnp.int32)
-    _, packed_s = jax.vmap(
-        lambda k, i: jax.lax.sort((k, i), num_keys=1)
-    )(-jax.lax.stop_gradient(errors), packed)
+    if exact_sort:
+        _, packed_s = jax.vmap(
+            lambda k, i: jax.lax.sort((k, i), num_keys=1)
+        )(-jax.lax.stop_gradient(errors), packed)
+    else:
+        # one-operand sort: 13-bit descending-error key ABOVE the
+        # payload (8191·2^18 + 2N−1 < 2^31, so the packed value stays a
+        # non-negative int32 and unsigned/signed order agree); ties
+        # break ascending in the payload = the stability the 2-operand
+        # sort had. packed_s below is the LOW 18 bits.
+        q = (8191.0 - jnp.round(
+            jax.lax.stop_gradient(errors) * 8191.0)).astype(jnp.int32)
+        vs = jax.vmap(lambda x: jax.lax.sort((x,), num_keys=1)[0])(
+            (q << 18) | packed)
+        packed_s = vs & 0x3FFFF
     fg_s = (packed_s & 1).astype(jnp.float32)
 
     gts = jnp.sum(fg_s, axis=1, keepdims=True)         # (C, 1)
