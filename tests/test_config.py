@@ -167,3 +167,14 @@ def test_scan_blocks_reaches_the_ptv3_config():
     from tpu3dssf.cli.common import build_pipeline
     model, pipe = build_pipeline(cfg)
     assert pipe.ptv3.scan_blocks is True
+
+
+def test_remat_attention_reaches_the_ptv3_config():
+    d = _base()
+    assert load_config(d).tpu.remat_attention is False
+    d["tpu_params"] = {"remat_attention": True}
+    cfg = load_config(d)
+    assert cfg.tpu.remat_attention is True
+    from tpu3dssf.cli.common import build_pipeline
+    model, pipe = build_pipeline(cfg)
+    assert pipe.ptv3.remat_attention is True

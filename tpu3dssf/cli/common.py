@@ -139,6 +139,7 @@ def build_pipeline(cfg: Config, vit_cfg=None):
         fusion=fusion,
         ptv3=PTv3Config(enc_window=(w,) * 5, dec_window=(w,) * 4,
                         use_pallas=use_pallas, remat=cfg.tpu.remat,
+                        remat_attention=cfg.tpu.remat_attention,
                         scan_blocks=cfg.tpu.scan_blocks,
                         drop_path=cfg.drop_path, dtype=dtype),
         voxel_size=cfg.voxel_size,

@@ -53,6 +53,12 @@ class TPUParams:
     devoxelize_mode: str = "own"       # "own" | "nearest" (parity)
     use_pallas: bool = True
     remat: bool = False                # jax.checkpoint PTv3 blocks
+    # recompute only each block's attention branch (qkv → windowed
+    # attention → proj) in the backward — the branch holding the
+    # largest per-block activations at a fraction of a full block's
+    # recompute FLOPs (models/ptv3.py remat_attention; B=12 lever,
+    # PERF.md "B=12 levers")
+    remat_attention: bool = False
     # compile each PTv3 stage's blocks as ONE nn.scan over stacked
     # params (fewer block bodies → much less HLO for slow AOT
     # compilers). Changes the param-tree layout; convert existing
@@ -167,6 +173,7 @@ def load_config(path_or_dict) -> Config:
         devoxelize_mode=tp.get("devoxelize_mode", "own"),
         use_pallas=bool(tp.get("use_pallas", True)),
         remat=bool(tp.get("remat", False)),
+        remat_attention=bool(tp.get("remat_attention", False)),
         scan_blocks=bool(tp.get("scan_blocks", False)),
         vit_looped=str(tp.get("vit_looped", "auto")),
         compute_dtype=tp.get("compute_dtype", "bfloat16"),
