@@ -291,6 +291,17 @@ def main():
         "peak_hbm_source": src,
     }))
 
+    if os.environ.get("BENCH_SQUEEZE") == "1" and on_tpu:
+        # validate the static peak against the device (VERDICT r4 task
+        # 7): fill HBM with ballast until the compiled program OOMs —
+        # diagnostics only, stderr (the driver parses the stdout JSON)
+        from tpu3dssf.utils.timing import hbm_squeeze
+        res = hbm_squeeze(
+            lambda: fused_infer(images, points, valid, K, Rt),
+            log=lambda s: print(s, file=sys.stderr))
+        res["static_peak_mb"] = round(hbm, 1)
+        print(f"[bench] squeeze {json.dumps(res)}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

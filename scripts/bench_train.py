@@ -157,6 +157,19 @@ def batch_scaling(batches):
                 print(f"    fwd {d_f*1e3:6.1f} ms | bwd "
                       f"{(d_fb-d_f)*1e3:6.1f} ms | opt+misc "
                       f"{(dt-d_fb)*1e3:6.1f} ms")
+            if os.environ.get("TRAIN_SQUEEZE") == "1" and \
+                    jax.default_backend() != "cpu":
+                # empirical cross-check of the static peak (VERDICT r4
+                # task 7): ballast-squeeze the already-compiled step —
+                # k_ok*unit + real_peak ≈ usable HBM, and the usable-HBM
+                # constant cancels against bench.py's BENCH_SQUEEZE=1
+                # run of the inference program (same unit size)
+                from tpu3dssf.utils.timing import hbm_squeeze
+                res = hbm_squeeze(
+                    lambda: step(batch["points"], tokens))
+                res["static_peak_mb"] = round(hbm, 1)
+                import json
+                print(f"    squeeze {json.dumps(res)}")
         except Exception as e:  # OOM etc. — report and continue
             print(f"fusion train B={B:2d}: FAILED "
                   f"{type(e).__name__}: {str(e)[:300]}")

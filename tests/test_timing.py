@@ -77,3 +77,21 @@ def test_program_peak_mb_static_analysis():
         raise RuntimeError("boom")
 
     assert program_peak_mb(unlowerable, x) == 0.0
+
+
+def test_hbm_squeeze_loop_contract():
+    """hbm_squeeze's control flow on a healthy program: with tiny units
+    and a small cap it exhausts max_units without a failure (CPU has
+    gigabytes of headroom) and frees its ballast; a program that always
+    raises is reported as run@0, never raised."""
+    from tpu3dssf.utils.timing import hbm_squeeze
+
+    x = jnp.zeros((64, 64), jnp.float32)
+    res = hbm_squeeze(lambda: (x @ x).sum(), unit_mib=1, max_units=3)
+    assert res == {"k_ok": 3, "failed": None, "unit_mib": 1}
+
+    def broken():
+        raise RuntimeError("boom")
+
+    res = hbm_squeeze(broken, unit_mib=1, max_units=3)
+    assert res["k_ok"] == -1 and res["failed"] == "run@0"

@@ -167,6 +167,62 @@ def program_peak_mb(fn: Callable, *args) -> float:
         return 0.0
 
 
+def hbm_squeeze(run: Callable[[], object], unit_mib: int = 128,
+                max_units: int = 140, log=None) -> dict:
+    """Empirically bracket a program's real HBM high-water mark.
+
+    The axon plugin exposes no runtime ``memory_stats()`` (probed,
+    scripts/probe_memory.py), so :func:`program_peak_mb`'s static
+    buffer-assignment peak is the only per-program number — and it has
+    never been validated against the device (VERDICT r4 task 7;
+    reference analog: utils/evaluation.py:76-81 memory accounting).
+    This helper validates it by *squeezing*: allocate ``unit_mib``-MiB
+    ballast buffers one at a time and re-run the (already compiled)
+    program after each, until either the ballast allocation or the run
+    fails with RESOURCE_EXHAUSTED. If the static peak is faithful, the
+    program keeps succeeding until free HBM ≈ its peak:
+
+        usable_hbm ≈ k_fail * unit + real_peak   (to one unit)
+
+    With the same ``unit_mib`` the UNKNOWN usable-HBM constant cancels
+    between two programs: Δ(k_fail) * unit ≈ −Δ(real_peak), which is
+    directly comparable to −Δ(static_peak). Returns a dict with
+    ``k_ok`` (most units survived), ``failed`` ("ballast"/"run"/None)
+    and ``unit_mib``. Frees all ballast before returning. TPU-only by
+    design — on CPU the "ballast" would be host RAM and can OOM the
+    machine.
+    """
+    log = log or (lambda s: None)
+    unit_fn = jax.jit(lambda: jnp.zeros((unit_mib << 20,), jnp.uint8))
+    ballast, failed = [], None
+    try:
+        out = run()
+        jax.block_until_ready(out)
+        del out
+    except Exception as e:  # program must run with zero ballast
+        return {"k_ok": -1, "failed": "run@0", "unit_mib": unit_mib,
+                "error": repr(e)[:200]}
+    while len(ballast) < max_units and failed is None:
+        try:
+            b = unit_fn()
+            b.block_until_ready()
+            ballast.append(b)
+        except Exception:
+            failed = "ballast"
+            break
+        try:
+            out = run()
+            jax.block_until_ready(out)
+            del out
+            log(f"[squeeze] ok with {len(ballast)} x {unit_mib} MiB "
+                f"ballast")
+        except Exception:
+            failed = "run"
+    k = len(ballast) - (1 if failed == "run" else 0)
+    del ballast
+    return {"k_ok": k, "failed": failed, "unit_mib": unit_mib}
+
+
 def measure_efficiency(func, *args, **kwargs):
     """Wall-time + device-memory snapshot around one call.
 
