@@ -83,9 +83,25 @@ def test_voxel_capacity_window_divisibility():
 
 def test_repo_configs_load():
     for path in ("configs/nuscenes_default.yaml",
-                 "configs/synthetic_debug.yaml"):
+                 "configs/synthetic_debug.yaml",
+                 "configs/nuscenes_testconfig22_tpu.yaml"):
         cfg = load_config(path)
         assert cfg.mlp_class == 16
+
+
+def test_testconfig22_tpu_matches_reference_recipe():
+    # the shipped batch-12 recipe must carry the reference's training
+    # hyperparameters (nuscenesTestConfig22.yaml:29-77) plus the
+    # measured grad_accum lever (PERF.md "B=12 levers")
+    cfg = load_config("configs/nuscenes_testconfig22_tpu.yaml")
+    assert cfg.train_loader.batch_size == 12
+    assert cfg.tpu.grad_accum == 6
+    assert cfg.train_loader.batch_size % cfg.tpu.grad_accum == 0
+    assert cfg.optimizer == "AdamW"
+    assert cfg.learning_rate == 0.0005
+    assert cfg.voxel_size == 0.1
+    assert cfg.image_encoder == "dinov3"
+    assert len(cfg.class_weights) == 16
 
 
 def test_reference_config_file_loads_unchanged():
