@@ -165,8 +165,9 @@ def batch_scaling(batches):
                 # constant cancels against bench.py's BENCH_SQUEEZE=1
                 # run of the inference program (same unit size)
                 from tpu3dssf.utils.timing import hbm_squeeze
+                step_j = jax.jit(step)  # raw step would trace eagerly
                 res = hbm_squeeze(
-                    lambda: step(batch["points"], tokens))
+                    lambda: step_j(batch["points"], tokens))
                 res["static_peak_mb"] = round(hbm, 1)
                 import json
                 print(f"    squeeze {json.dumps(res)}")

@@ -316,6 +316,41 @@ def test_data_parallel_step_on_virtual_mesh(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_grad_accum_composes_with_data_parallel_mesh(rng):
+    """The recommended one-chip batch-12 lever (tpu_params.grad_accum,
+    PERF.md "B=12 levers") under the DP mesh: the micro-batch lax.scan
+    reshapes the SHARDED leading dim (8,) -> (2, 4) inside the
+    partitioned jit. The sharded update must equal the unsharded
+    grad_accum update."""
+    from tpu3dssf.parallel import create_mesh, replicate, shard_batch
+    model = _tiny_model()
+    batch_np = {k: np.asarray(v) for k, v in _batch(rng, B=8).items()}
+    mesh = create_mesh((8,), ("data",))
+    batch = shard_batch(batch_np, mesh)
+    tokens = jax.device_put(
+        np.zeros((8, 1, 1, 1), np.float32),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("data")))
+
+    state = _make_state(model, jax.tree.map(jnp.asarray, batch_np))
+    state = replicate(state, mesh)
+    loss_fn = CELSLoss(weight=np.ones(16, np.float32))
+    step = make_train_step(loss_fn, grad_accum=2)
+    with mesh:
+        state2, m = step(state, batch, tokens)
+    assert np.isfinite(float(m["loss"]))
+
+    state_s = _make_state(model, jax.tree.map(jnp.asarray, batch_np))
+    step_s = make_train_step(loss_fn, grad_accum=2)
+    state_s2, m_s = step_s(state_s, jax.tree.map(jnp.asarray, batch_np),
+                           jnp.zeros((8, 1, 1, 1), jnp.float32))
+    np.testing.assert_allclose(float(m["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    a = np.asarray(jax.tree.leaves(state2.params)[0])
+    b = np.asarray(jax.tree.leaves(state_s2.params)[0])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     """Run the driver's multichip dryrun in a SUBPROCESS, exactly as the
     driver does. In-process it is flaky: jax's TPU-interpret machinery
@@ -332,8 +367,11 @@ def test_graft_entry_dryrun():
     # loop-surface stages) exceeds the 900 s budget on this 1-core
     # host; scan_blocks parity is covered by test_scan_blocks_* and
     # the driver itself runs the full sweep.
+    # DRYRUN_ACCUM=0: the grad_accum x DP leg is covered cheaply by
+    # test_grad_accum_composes_with_data_parallel_mesh; the flagship
+    # variant stays inside the 900 s budget for the driver's own run.
     env = dict(os.environ, DRYRUN_ONLY="1", NDEV="8",
-               DRYRUN_VARIANTS="unrolled")
+               DRYRUN_VARIANTS="unrolled", DRYRUN_ACCUM="0")
     env.pop("PYTHONPATH", None)  # breaks axon plugin discovery
     r = subprocess.run(
         [sys.executable, os.path.join(root, "__graft_entry__.py")],
