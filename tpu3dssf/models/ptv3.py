@@ -31,7 +31,7 @@ coarse coords (hierarchy makes the re-sort redundant; see PTv3Config).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -288,10 +288,18 @@ class _DepthwiseConv3(nn.Module):
     padding=SAME)`` — same param names/shapes (kernel (3, 1, C), bias)
     so existing checkpoints load unchanged — but lowered as fusable VPU
     passes instead of XLA's grouped-conv relayout.
+
+    Sequence parallelism: with ``sp_axis`` set (inside a ``shard_map``
+    whose point axis is sharded over that mesh axis), the two shifted
+    taps pull their one-row halos from the neighbor shards via
+    ``lax.ppermute`` — the SURVEY §5 "ring-exchange window-boundary
+    halos" design. End shards receive zeros (ppermute's no-source
+    default), matching the global zero padding.
     """
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, xs):
@@ -299,8 +307,19 @@ class _DepthwiseConv3(nn.Module):
                        (3, 1, self.channels)).astype(self.dtype)
         b = self.param("bias", nn.initializers.zeros,
                        (self.channels,)).astype(self.dtype)
-        left = jnp.pad(xs[:, :-1], ((0, 0), (1, 0), (0, 0)))
-        right = jnp.pad(xs[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        if self.sp_axis is not None:
+            n_sh = jax.lax.axis_size(self.sp_axis)
+            halo_l = jax.lax.ppermute(  # shard i edge row -> i+1
+                xs[:, -1:], self.sp_axis,
+                [(i, i + 1) for i in range(n_sh - 1)])
+            halo_r = jax.lax.ppermute(  # shard i first row -> i-1
+                xs[:, :1], self.sp_axis,
+                [(i + 1, i) for i in range(n_sh - 1)])
+            left = jnp.concatenate([halo_l, xs[:, :-1]], axis=1)
+            right = jnp.concatenate([xs[:, 1:], halo_r], axis=1)
+        else:
+            left = jnp.pad(xs[:, :-1], ((0, 0), (1, 0), (0, 0)))
+            right = jnp.pad(xs[:, 1:], ((0, 0), (0, 1), (0, 0)))
         return left * k[0, 0] + xs * k[1, 0] + right * k[2, 0] + b
 
 
@@ -314,13 +333,19 @@ class SerializedCPE(nn.Module):
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, perm, inv, mask):
+        if self.sp_axis is not None and perm is not None:
+            raise ValueError("sequence-parallel CPE requires the CPE "
+                             "order itself (perm=None): cross-order "
+                             "permutations are global gathers")
         xs = x * mask[..., None]
         if perm is not None:
             xs = permutation_gather(xs, perm, inv)
         y = _DepthwiseConv3(self.channels, dtype=self.dtype,
+                            sp_axis=self.sp_axis,
                             name="depthwise")(xs)
         y = nn.Dense(self.channels, dtype=self.dtype, name="pointwise")(y)
         if inv is not None:
@@ -434,10 +459,16 @@ class PTv3Block(nn.Module):
     use_pallas: bool = True
     remat_attention: bool = False
     dtype: jnp.dtype = jnp.float32
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, perm, inv, mask, deterministic=True):
-        x = SerializedCPE(self.channels, dtype=self.dtype, name="cpe")(
+        if self.sp_axis is not None and perm is not None:
+            raise ValueError("sequence-parallel blocks must attend "
+                             "along the CPE order (perm=None); see "
+                             "tpu3dssf.parallel.sp")
+        x = SerializedCPE(self.channels, dtype=self.dtype,
+                          sp_axis=self.sp_axis, name="cpe")(
             x, None, None, mask)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)

@@ -6,6 +6,7 @@ from tpu3dssf.parallel.mesh import (
     replicated_sharding,
     vit_tp_shardings,
 )
+from tpu3dssf.parallel.sp import sp_block_apply
 
 __all__ = [
     "create_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "vit_tp_shardings",
+    "sp_block_apply",
 ]
