@@ -100,6 +100,23 @@ def main():
     dp = jax.jit(dn.init)(jax.random.PRNGKey(0), x)
     tb("Dense C->4C", jax.jit(lambda xx: dn.apply(dp, xx)), x, iters=100)
 
+    # 5b. the full MLP chain (round 5): the block's non-attention math.
+    # 2 matmuls = 43.5 GFLOP -> 0.28 ms at the 153 TFLOP/s peak; how
+    # close does XLA get with the gelu fused in, and does the gelu
+    # cost anything on top of the matmuls?
+    dd = nn.Dense(C, dtype=dtype)
+    ddp = jax.jit(dd.init)(jax.random.PRNGKey(1),
+                           jnp.zeros((B, N, 4 * C), dtype))
+    t_mlp = tb("MLP chain (C->4C, gelu, 4C->C)",
+               jax.jit(lambda xx: dd.apply(ddp, nn.gelu(
+                   dn.apply(dp, xx)))), x, iters=100)
+    mlp_flops = 4 * B * N * C * 4 * C
+    print(f"    -> {mlp_flops / (t_mlp/1e3) / 1e12:.1f} TFLOP/s "
+          f"(matmul FLOPs only)")
+    tb("MLP matmuls only (no gelu)",
+       jax.jit(lambda xx: dd.apply(ddp, dn.apply(dp, xx))), x,
+       iters=100)
+
     # 6. whole ViT encode (the component-bench row, for consistency)
     vit_cfg = dataclasses.replace(dinov3_small(), dtype=dtype,
                                   use_flash=True, scan_layers=True)
