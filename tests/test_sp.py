@@ -82,6 +82,25 @@ def test_sp_block_grads_match(rng):
                                atol=1e-5)
 
 
+def test_sp_block_pallas_kernel_under_shard_map(rng, monkeypatch):
+    """The SP claim "attention is shard-local" must hold for the REAL
+    Pallas route too, not just the jnp reference: window=128 routes the
+    C=32 stage through window_attention_packed (whole-3C kernel), here
+    interpret-traced to HLO (TPU3DSSF_PALLAS_INTERPRET, same mechanism
+    as the flagship multichip dryrun) inside the SP shard_map."""
+    monkeypatch.setenv("TPU3DSSF_PALLAS_INTERPRET", "1")
+    x, mask = _data(rng, N=1024)
+    mesh = create_mesh((8,), ("seq",))
+    mk = lambda sp: PTv3Block(channels=32, heads=2, window=128,
+                              mlp_ratio=2.0, use_pallas=True,
+                              sp_axis=sp)
+    params = mk(None).init(jax.random.key(1), x, None, None, mask)
+    ref = mk(None).apply(params, x, None, None, mask)
+    out = sp_block_apply(mk("seq"), params, x, mask, mesh, axis="seq")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
 def test_sp_block_rejects_bad_shapes_and_orders(rng):
     x, mask = _data(rng, N=520)  # 520 % (8*16) != 0
     mesh = create_mesh((8,), ("seq",))
