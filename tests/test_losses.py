@@ -111,6 +111,25 @@ def test_lovasz_quantized_sort_matches_exact(rng):
                                atol=5e-4)
 
 
+def test_lovasz_large_n_guard(rng):
+    # The packed 1-operand sort needs 2N-1 to fit 18 payload bits
+    # (N <= 131,072); beyond that the default path must STATICALLY fall
+    # back to the exact 2-operand sort — without the guard the iota
+    # bleeds into the quantized key and the loss corrupts silently
+    # (B >= 4 at the 34.8k point capacity flattens past the bound).
+    N, C = (1 << 17) + 4096, 4
+    probs = _softmax(rng.normal(size=(N, C))).astype(np.float32)
+    labels = rng.integers(0, C, size=N)
+    valid = rng.random(N) > 0.3
+    a = jnp.asarray(probs)
+    l_d = float(lovasz_softmax(a, jnp.asarray(labels),
+                               jnp.asarray(valid)))
+    l_e = float(lovasz_softmax(a, jnp.asarray(labels),
+                               jnp.asarray(valid), exact_sort=True))
+    # identical routes -> bit-identical, not merely close
+    assert l_d == l_e
+
+
 def test_lovasz_perfect_prediction_is_zero(rng):
     N, C = 64, 4
     labels = rng.integers(0, C, size=N)

@@ -69,6 +69,14 @@ def lovasz_softmax(probs, labels0, valid, exact_sort: bool = False):
     bounded by reorderings among errors within 1/8191 of each other
     (measured |Δloss| ≲ 1e-7 at train shapes). exact_sort=True keeps
     the f32-keyed 2-operand sort (bit-exact reference rank order).
+
+    The packed path requires the payload to fit its 18 bits: 2N−1 ≤
+    2^18−1, i.e. N ≤ 131,072 (covers B ≤ 3 at the 34.8k point
+    capacity). Larger flattened batches fall back STATICALLY to the
+    exact 2-operand sort — N is a trace-time constant, so the branch
+    costs nothing under jit. Without the guard the key and payload
+    bits overlap and the loss corrupts silently
+    (tests/test_losses.py::test_lovasz_large_n_guard).
     """
     probs = probs.astype(jnp.float32)
     N, C = probs.shape
@@ -108,7 +116,10 @@ def lovasz_softmax(probs, labels0, valid, exact_sort: bool = False):
     # equal-key ties keep the same order the separate iota gave.
     packed = (jnp.arange(N, dtype=jnp.int32) * 2)[None, :] + \
         fg.astype(jnp.int32)
-    if exact_sort:
+    if exact_sort or N > (1 << 17):
+        # 2-operand exact sort — also the REQUIRED route once the
+        # payload outgrows 18 bits (N > 131,072): packing would bleed
+        # iota bits into the quantized key and corrupt the order.
         _, packed_s = jax.vmap(
             lambda k, i: jax.lax.sort((k, i), num_keys=1)
         )(-jax.lax.stop_gradient(errors), packed)
