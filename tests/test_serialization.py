@@ -78,6 +78,27 @@ def test_hilbert_continuity_on_subcube():
     assert (steps.sum(axis=1) == 1).all()
 
 
+def test_signed_lo_order_is_the_documented_variant(rng):
+    # codes.py "Known divergence": lax.sort compares lo SIGNED, so the
+    # shipped order is the signed-int32 curve variant — true unsigned
+    # order except where equal-hi points differ at code bit 31 (Morton:
+    # y grid bit 10), where the half-blocks swap. Pin both halves of
+    # that statement so a future sort change is a conscious one.
+    # (a) realistic span (< 1024-cell block boundary): variants agree
+    coords = rng.integers(-500, 500, size=(4096, 3)).astype(np.int32)
+    hi, lo = serialization_keys(jnp.asarray(coords), "z")
+    perm = np.asarray(argsort_lex(hi, lo))
+    true_perm = np.argsort(_code_to_int(hi, lo), kind="stable")
+    np.testing.assert_array_equal(perm, true_perm)
+    # (b) across the y bit-10 boundary: the documented half-block swap
+    c2 = np.array([[0, 0, 0], [0, 1024, 0]], np.int32)
+    h2, l2 = serialization_keys(jnp.asarray(c2), "z")
+    assert int(np.asarray(l2)[1]) < 0  # bit 31 set -> negative lo
+    perm2 = np.asarray(argsort_lex(h2, l2))
+    np.testing.assert_array_equal(perm2, [1, 0])   # signed variant
+    assert np.argsort(_code_to_int(h2, l2))[0] == 0  # true order differs
+
+
 def test_all_orders_produce_permutations(rng):
     coords = rng.integers(-50, 50, size=(64, 3)).astype(np.int32)
     for order in ("z", "z-trans", "hilbert", "hilbert-trans"):

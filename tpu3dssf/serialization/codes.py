@@ -11,6 +11,19 @@ JAX on TPU has no native int64 without the x64 flag, so a 48-bit code
 sorting is 2-key lexicographic (``jax.lax.sort(num_keys=2)``). hi carries
 code bits [32, 48), lo carries bits [0, 32).
 
+Known divergence (documented, pinned): ``lax.sort`` compares int32
+SIGNED, and code bit 31 sits in ``lo``'s sign bit — so the shipped
+order is the signed-int32 VARIANT of each curve: it equals the true
+unsigned code order except where two points share bits [32, 48) but
+differ at bit 31 (for Morton, bit 31 is y-axis grid bit 10 — first
+reachable when a scene spans a 1024-cell block boundary, ≥ 51 m at
+0.05 m voxels), where the two half-blocks swap. The variant is
+bijective and windows stay spatially local (the swapped halves lie in
+the same bits-[32,48) mega-cell); PTv3 rotates four orders per stage
+as a regularizer, so which exact curve variant each order traverses is
+not load-bearing. Pinned in
+tests/test_serialization.py::test_signed_lo_order_is_the_documented_variant.
+
 Supported orders (PTv3's defaults: "z", "z-trans", "hilbert",
 "hilbert-trans"): the ``-trans`` variants permute the axes (x, y, z) →
 (y, x, z) before encoding, matching upstream's transposed curves.
