@@ -73,6 +73,27 @@ def test_pipeline_batches_and_shuffles():
     assert len(_) == 3
 
 
+def test_pipeline_abandoned_iterator_stops_producer():
+    # round-5 closing review: abandoning the iterator mid-epoch (break,
+    # exception — e.g. the NaN guard aborting training, islice) used to
+    # leak the producer thread blocked forever on q.put into the full
+    # bounded queue. Closing the generator must terminate it.
+    import threading
+
+    ds = SyntheticNuScenes(num_samples=12, num_points=64)
+    pipe = HostDataPipeline(ds, batch_size=1, point_capacity=128,
+                            prefetch=1)
+    before = set(threading.enumerate())
+    it = iter(pipe)
+    next(it)          # producer fills the prefetch queue and blocks
+    it.close()        # GeneratorExit -> stop event -> producer exits
+    leaked = [t for t in set(threading.enumerate()) - before
+              if t.is_alive()]
+    for t in leaked:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in leaked), leaked
+
+
 def test_pipeline_propagates_worker_errors():
     class Broken:
         def __len__(self):

@@ -134,22 +134,41 @@ class HostDataPipeline:
         q: "queue.Queue[Optional[Dict]]" = queue.Queue(
             maxsize=self.prefetch)
         err = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone — a
+            # plain q.put would block forever if the iterator is
+            # abandoned mid-epoch (break / exception / islice) with the
+            # queue full, leaking the producer thread and its batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def producer():
             try:
                 for indices in self._batch_indices():
-                    q.put(self._make_batch(indices))
+                    if not put(self._make_batch(indices)):
+                        return
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()           # unblock a producer stuck in put()
+            t.join(timeout=5.0)
         if err:
             raise err[0]
