@@ -70,6 +70,12 @@ def knn_pallas(queries, refs, ref_mask, k):
     if k > _SLOTS:
         raise ValueError(f"k={k} > {_SLOTS}")
     Q, R = queries.shape[0], refs.shape[0]
+    if Q % _BQ or R % 128:
+        # the grid rounds DOWN — an off-contract shape would leave the
+        # tail rows silently uncomputed, so fail loudly instead
+        raise ValueError(
+            f"knn_pallas needs Q % {_BQ} == 0 and R % 128 == 0, "
+            f"got Q={Q}, R={R} (pad the capacities)")
 
     qf = queries.astype(jnp.float32)
     rf = refs.astype(jnp.float32)
