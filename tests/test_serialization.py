@@ -78,25 +78,48 @@ def test_hilbert_continuity_on_subcube():
     assert (steps.sum(axis=1) == 1).all()
 
 
-def test_signed_lo_order_is_the_documented_variant(rng):
-    # codes.py "Known divergence": lax.sort compares lo SIGNED, so the
-    # shipped order is the signed-int32 curve variant — true unsigned
-    # order except where equal-hi points differ at code bit 31 (Morton:
-    # y grid bit 10), where the half-blocks swap. Pin both halves of
-    # that statement so a future sort change is a conscious one.
-    # (a) realistic span (< 1024-cell block boundary): variants agree
+def test_serialized_order_is_true_unsigned_order(rng):
+    # codes.py: serialization_keys flips lo's bit 31 so lax.sort's
+    # SIGNED int32 compare realizes the true UNSIGNED 48-bit code
+    # order — the order upstream's int64 sort produces. Pin it against
+    # the unsigned-code oracle both within a 1024-cell block and across
+    # the bit-31 (y grid bit 10) boundary where the pre-round-5 signed
+    # variant used to swap half-blocks.
+    # (a) realistic span (< 1024-cell block boundary)
     coords = rng.integers(-500, 500, size=(4096, 3)).astype(np.int32)
     hi, lo = serialization_keys(jnp.asarray(coords), "z")
     perm = np.asarray(argsort_lex(hi, lo))
-    true_perm = np.argsort(_code_to_int(hi, lo), kind="stable")
+    true_perm = np.argsort(_oracle_morton(coords), kind="stable")
     np.testing.assert_array_equal(perm, true_perm)
-    # (b) across the y bit-10 boundary: the documented half-block swap
+    # (b) spanning the boundary: code bit 31 flips between points
+    coords = rng.integers(-2048, 2048, size=(4096, 3)).astype(np.int32)
+    hi, lo = serialization_keys(jnp.asarray(coords), "z")
+    assert (np.asarray(lo) < 0).any() and (np.asarray(lo) >= 0).any()
+    perm = np.asarray(argsort_lex(hi, lo))
+    true_perm = np.argsort(_oracle_morton(coords), kind="stable")
+    np.testing.assert_array_equal(perm, true_perm)
+    # (c) the minimal pair the old variant ordered backwards
     c2 = np.array([[0, 0, 0], [0, 1024, 0]], np.int32)
     h2, l2 = serialization_keys(jnp.asarray(c2), "z")
-    assert int(np.asarray(l2)[1]) < 0  # bit 31 set -> negative lo
-    perm2 = np.asarray(argsort_lex(h2, l2))
-    np.testing.assert_array_equal(perm2, [1, 0])   # signed variant
-    assert np.argsort(_code_to_int(h2, l2))[0] == 0  # true order differs
+    np.testing.assert_array_equal(np.asarray(argsort_lex(h2, l2)), [0, 1])
+
+
+def test_all_orders_sort_by_unsigned_code(rng):
+    # Every order's sort keys must realize the unsigned 48-bit code
+    # order of its raw curve code, including across the lo bit-31
+    # boundary. Raw codes come from the encoders directly (they return
+    # unflipped bits); the unsigned oracle is their int64 reconstruction.
+    coords = rng.integers(-2048, 2048, size=(2048, 3)).astype(np.int32)
+    for order in ("z", "z-trans", "hilbert", "hilbert-trans"):
+        c = coords
+        if order.endswith("-trans"):
+            c = coords[:, [1, 0, 2]]
+        enc = morton_encode if order.startswith("z") else hilbert_encode
+        hi_r, lo_r = enc(jnp.asarray(c))
+        true_perm = np.argsort(_code_to_int(hi_r, lo_r), kind="stable")
+        hi, lo = serialization_keys(jnp.asarray(coords), order)
+        perm = np.asarray(argsort_lex(hi, lo))
+        np.testing.assert_array_equal(perm, true_perm, err_msg=order)
 
 
 def test_all_orders_produce_permutations(rng):

@@ -11,18 +11,18 @@ JAX on TPU has no native int64 without the x64 flag, so a 48-bit code
 sorting is 2-key lexicographic (``jax.lax.sort(num_keys=2)``). hi carries
 code bits [32, 48), lo carries bits [0, 32).
 
-Known divergence (documented, pinned): ``lax.sort`` compares int32
-SIGNED, and code bit 31 sits in ``lo``'s sign bit — so the shipped
-order is the signed-int32 VARIANT of each curve: it equals the true
-unsigned code order except where two points share bits [32, 48) but
-differ at bit 31 (for Morton, bit 31 is y-axis grid bit 10 — first
-reachable when a scene spans a 1024-cell block boundary, ≥ 51 m at
-0.05 m voxels), where the two half-blocks swap. The variant is
-bijective and windows stay spatially local (the swapped halves lie in
-the same bits-[32,48) mega-cell); PTv3 rotates four orders per stage
-as a regularizer, so which exact curve variant each order traverses is
-not load-bearing. Pinned in
-tests/test_serialization.py::test_signed_lo_order_is_the_documented_variant.
+``lax.sort`` compares int32 SIGNED while code bit 31 rides ``lo``'s
+sign bit, so :func:`serialization_keys` returns ``lo`` with bit 31
+FLIPPED: ``signed(x ^ 0x80000000)`` orders exactly like ``unsigned(x)``,
+making the 2-key signed sort realize the true unsigned 48-bit curve
+order — the same order upstream's int64 sort produces — at the cost of
+one fused XOR. (Before round 5 the un-flipped ``lo`` shipped a
+"signed-int32 curve variant" that swapped two half-blocks wherever
+equal-``hi`` points differed at bit 31 — behaviorally equivalent but
+not bit-identical to upstream; see PARITY.md item 14.) The raw-code
+encoders ``morton_encode``/``hilbert_encode`` still return the
+unflipped code bits. Pinned in
+tests/test_serialization.py::test_serialized_order_is_true_unsigned_order.
 
 Supported orders (PTv3's defaults: "z", "z-trans", "hilbert",
 "hilbert-trans"): the ``-trans`` variants permute the axes (x, y, z) →
@@ -140,7 +140,14 @@ def serialization_keys(grid_coords, order):
         grid_coords = grid_coords[..., jnp.array([1, 0, 2])]
         order = order[: -len("-trans")]
     if order == "z":
-        return morton_encode(grid_coords)
-    if order == "hilbert":
-        return hilbert_encode(grid_coords)
-    raise ValueError(f"unknown serialization order: {order!r}")
+        hi, lo = morton_encode(grid_coords)
+    elif order == "hilbert":
+        hi, lo = hilbert_encode(grid_coords)
+    else:
+        raise ValueError(f"unknown serialization order: {order!r}")
+    # lax.sort compares int32 SIGNED and code bit 31 rides lo's sign
+    # bit; flipping it makes the signed lex order equal the true
+    # unsigned code order (hi holds bits [32, 48) in a 16-bit value —
+    # always non-negative, so it needs no flip, and argsort_lex's
+    # invalid sentinel hi = INT32_MAX still dominates every valid key).
+    return hi, lo ^ jnp.int32(-(2 ** 31))
